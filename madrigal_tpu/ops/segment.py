@@ -1,0 +1,90 @@
+"""Segment reductions for static-shape graph computation on TPU.
+
+These replace the reference's torch-scatter CUDA kernels
+(reference: madrigal/models/models.py:15 `scatter_mean/add/max`) with
+XLA-native `jax.ops.segment_*` over padded index arrays. All shapes are
+static; padding entries carry a sentinel segment id == num_segments which
+XLA drops (indices >= num_segments are ignored by segment ops).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def segment_sum(data, segment_ids, num_segments: int):
+    return jax.ops.segment_sum(
+        data, segment_ids, num_segments=num_segments, indices_are_sorted=False
+    )
+
+
+def segment_mean(data, segment_ids, num_segments: int, eps: float = 0.0):
+    total = segment_sum(data, segment_ids, num_segments)
+    ones = jnp.ones(data.shape[:1], dtype=data.dtype)
+    count = segment_sum(ones, segment_ids, num_segments)
+    denom = jnp.maximum(count, 1.0) if eps == 0.0 else count + eps
+    return total / denom.reshape((-1,) + (1,) * (data.ndim - 1))
+
+
+def segment_max(data, segment_ids, num_segments: int, initial=-jnp.inf):
+    out = jax.ops.segment_max(
+        data, segment_ids, num_segments=num_segments, indices_are_sorted=False
+    )
+    # Segments with no members come back as -inf; leave caller to mask.
+    return out
+
+
+def segment_softmax(logits, segment_ids, num_segments: int, mask=None):
+    """Numerically-stable softmax within segments.
+
+    Used by the HGT attention (replacing PyG's `softmax(alpha, index)`;
+    reference semantics: torch_geometric.nn.conv.HGTConv message()).
+
+    Args:
+      logits: [E, ...] per-edge logits.
+      segment_ids: [E] destination-node ids (padding entries must be
+        >= num_segments or masked out via `mask`).
+      mask: optional [E] bool; False entries get zero weight.
+    """
+    if mask is not None:
+        logits = jnp.where(
+            mask.reshape(mask.shape + (1,) * (logits.ndim - 1)), logits, -jnp.inf
+        )
+    seg_max = jax.ops.segment_max(
+        logits, segment_ids, num_segments=num_segments
+    )
+    seg_max = jnp.where(jnp.isfinite(seg_max), seg_max, 0.0)
+    shifted = logits - seg_max[segment_ids]
+    exp = jnp.exp(shifted)
+    if mask is not None:
+        exp = jnp.where(mask.reshape(mask.shape + (1,) * (exp.ndim - 1)), exp, 0.0)
+    denom = segment_sum(exp, segment_ids, num_segments)
+    denom = jnp.maximum(denom, 1e-16)
+    return exp / denom[segment_ids]
+
+
+def masked_mean_pool(tokens, keep_mask, axis: int = 1, eps: float = 0.0):
+    """Mean over `axis` of `tokens` restricted to keep_mask==True rows.
+
+    Replaces the reference's scatter_mean-based masked pooling
+    (reference: madrigal/models/models.py:447,873).
+
+    Args:
+      tokens: [..., T, D]
+      keep_mask: [..., T] bool (True = keep)
+    """
+    m = keep_mask.astype(tokens.dtype)[..., None]
+    total = jnp.sum(tokens * m, axis=axis)
+    count = jnp.maximum(jnp.sum(m, axis=axis), 1.0)
+    return total / count
+
+
+def masked_max_pool(tokens, keep_mask, axis: int = 1):
+    """Max over `axis` restricted to keep_mask==True rows
+    (reference: models.py:451,878). Empty selections return 0 like
+    torch-scatter's default."""
+    neg = jnp.full_like(tokens, -jnp.inf)
+    masked = jnp.where(keep_mask[..., None], tokens, neg)
+    out = jnp.max(masked, axis=axis)
+    any_kept = jnp.any(keep_mask, axis=axis)[..., None]
+    return jnp.where(any_kept, out, 0.0)
