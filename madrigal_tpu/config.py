@@ -138,6 +138,7 @@ class ChemCPAConfig:
     drug_embedding_dim: int = 200  # rdkit2D normalized descriptor width
     num_covariates: int = NUM_CELL_LINES
     dropout: float = 0.4  # only used during stage-1 adaptation training
+    disable_adv: bool = True  # adversaries only exist for stage-1 training
 
 
 @dataclass(frozen=True)

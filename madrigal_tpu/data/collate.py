@@ -1,0 +1,178 @@
+"""DDI collators: long-format edge batches -> device-ready arrays.
+
+TPU-native equivalent of the reference's LongDDIDataCollator
+(reference: madrigal/data/data.py:759-1012): unique-head/tail dedup with
+inverse indices, train-edge undirecting, fixed or on-the-fly structured
+negatives, per-drug modality gathers (molecules, KG row lookup, cv/tx
+signature rows with zero-fill for missing), and the (head_idx, tail_idx,
+label, pos/neg) index arrays the loss consumes.
+
+Deviation from the reference (documented): missing cv/tx rows are filled
+with zeros up front rather than randn-then-overwrite (data.py:897-902) --
+the values are masked downstream either way, and zeros are deterministic.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..constants import NUM_CELL_LINES
+from .batch import DrugModalityBatch
+from .kg import HeteroKGBatch, build_kg_batch, drug_row_lookup
+from .molgraph import pack_molecules
+from .negative_sampling import structured_negative_sampling_multilabel
+from .synthetic import SyntheticDataset
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class DDIBatch:
+    """One collated DDI batch (reference collator output dict,
+    data.py:948-974)."""
+
+    head: DrugModalityBatch
+    tail: DrugModalityBatch
+    head_idx: jnp.ndarray  # [T] index into head.drugs
+    tail_idx: jnp.ndarray  # [T] index into tail.drugs
+    labels: jnp.ndarray  # [T]
+    pos_neg: jnp.ndarray  # [T] 1=positive, 0=negative
+    mask: jnp.ndarray  # [T] bool; False rows are padding
+
+
+class DDICollator:
+    """Host-side collator over a drug store (synthetic or loaded)."""
+
+    def __init__(
+        self,
+        ds: SyntheticDataset,
+        split: str = "train",
+        num_negative_samples_per_pair: Optional[int] = None,
+        negative_sampling_probs_type: str = "uniform",
+        node_budget: Optional[int] = None,
+        edge_budget: Optional[int] = None,
+        pair_budget: Optional[int] = None,
+        seed: int = 0,
+    ):
+        self.ds = ds
+        self.split = split
+        self.num_neg = num_negative_samples_per_pair
+        self.rng = np.random.RandomState(seed)
+        self.node_budget = node_budget
+        self.edge_budget = edge_budget
+        self.pair_budget = pair_budget
+        self.kg_row_lut = drug_row_lookup(ds.kg_drug_ids, ds.num_drugs)
+
+        if self.num_neg:
+            df = ds.edge_df
+            self.valid_indices = np.unique(df[["head", "tail"]].values)
+            self.gt_edges = df[["head", "tail"]].values
+            self.gt_labels = df["label_indexed"].values
+            if negative_sampling_probs_type == "uniform":
+                self.neg_probs = None
+            elif negative_sampling_probs_type in ("degree", "degree_w2v"):
+                counts = np.bincount(
+                    self.gt_edges.flatten(),
+                    minlength=int(self.valid_indices.max()) + 1,
+                ).astype(np.float64)
+                if negative_sampling_probs_type == "degree_w2v":
+                    counts = counts ** 0.75
+                self.neg_probs = counts / counts.sum()
+            else:
+                raise ValueError(negative_sampling_probs_type)
+
+    # -- modality gathers ---------------------------------------------------
+
+    def drug_batch(self, drug_ids: np.ndarray) -> DrugModalityBatch:
+        ds = self.ds
+        drug_ids = np.asarray(drug_ids, np.int64)
+        mols = pack_molecules(
+            [ds.molecules[int(i)] for i in drug_ids],
+            node_budget=self.node_budget,
+            edge_budget=self.edge_budget,
+        )
+        masks = ds.masks[drug_ids]
+        return DrugModalityBatch(
+            drugs=jnp.asarray(drug_ids.astype(np.int32)),
+            mols=mols,
+            kg_rows=jnp.asarray(self.kg_row_lut[drug_ids]),
+            cv=jnp.asarray(ds.cv_table[drug_ids]),
+            tx_sigs=jnp.asarray(ds.tx_table[:, drug_ids]),
+            tx_dosages=jnp.asarray(ds.tx_dosages[:, drug_ids]),
+            masks=jnp.asarray(masks),
+        )
+
+    def kg_batch(self, **kw) -> HeteroKGBatch:
+        ds = self.ds
+        return build_kg_batch(
+            ds.kg_node_feats, ds.kg_edge_indices, ds.kg_drug_ids, **kw
+        )
+
+    # -- edge batch ---------------------------------------------------------
+
+    def __call__(self, rows: "object" = None) -> Tuple[DDIBatch, HeteroKGBatch]:
+        """Collate an edge-table slice (defaults to the full table --
+        full-batch training, reference data.py:435-437)."""
+        df = self.ds.edge_df if rows is None else rows
+        pos = df[["head", "tail"]].values.astype(np.int64)
+        labels = df["label_indexed"].values.astype(np.int64)
+
+        if self.num_neg:
+            nh, nt = structured_negative_sampling_multilabel(
+                pos.T, labels, self.valid_indices, self.gt_edges.T,
+                self.gt_labels, probs=self.neg_probs, rng=self.rng,
+            )
+            neg = np.concatenate(
+                [np.stack([pos[:, 0], nt], 1), np.stack([nh, pos[:, 1]], 1)]
+            )
+            neg_labels = np.tile(labels, 2)
+        else:
+            neg = np.concatenate(
+                [
+                    np.stack([pos[:, 0], df["neg_tail"].values], 1),
+                    np.stack([df["neg_head"].values, pos[:, 1]], 1),
+                ]
+            )
+            neg_labels = np.tile(labels, 2)
+
+        if self.split == "train":
+            # undirect (reference data.py:863-867)
+            pos = np.concatenate([pos, pos[:, ::-1]])
+            neg = np.concatenate([neg, neg[:, ::-1]])
+            labels = np.tile(labels, 2)
+            neg_labels = np.tile(neg_labels, 2)
+
+        all_heads = np.concatenate([pos[:, 0], neg[:, 0]])
+        all_tails = np.concatenate([pos[:, 1], neg[:, 1]])
+        all_labels = np.concatenate([labels, neg_labels])
+        pos_neg = np.concatenate(
+            [np.ones_like(labels), np.zeros_like(neg_labels)]
+        )
+
+        uniq_heads, head_inv = np.unique(all_heads, return_inverse=True)
+        uniq_tails, tail_inv = np.unique(all_tails, return_inverse=True)
+
+        T = len(all_labels)
+        budget = self.pair_budget or T
+        if T > budget:
+            raise ValueError(f"pair budget too small: {T} > {budget}")
+        pad = budget - T
+
+        def pad1(x, fill=0):
+            return np.concatenate([x, np.full(pad, fill, dtype=x.dtype)])
+
+        batch = DDIBatch(
+            head=self.drug_batch(uniq_heads),
+            tail=self.drug_batch(uniq_tails),
+            head_idx=jnp.asarray(pad1(head_inv.astype(np.int32))),
+            tail_idx=jnp.asarray(pad1(tail_inv.astype(np.int32))),
+            labels=jnp.asarray(pad1(all_labels.astype(np.int32))),
+            pos_neg=jnp.asarray(pad1(pos_neg.astype(np.int32))),
+            mask=jnp.asarray(
+                np.concatenate([np.ones(T, bool), np.zeros(pad, bool)])
+            ),
+        )
+        return batch, self.kg_batch()

@@ -1,0 +1,136 @@
+"""Heterogeneous knowledge-graph batches with static shapes.
+
+Replaces PyG's `HeteroData` (reference: madrigal/data/data_utils.py:296-337,
+models/models.py:724-738) with padded per-edge-type index arrays and
+per-node-type feature matrices. The reference's default path clones the FULL
+KG every forward (data_utils.py:330-332), which on TPU becomes one big
+static message-passing program -- ideal for XLA as long as shapes never
+change, hence fixed padding budgets per edge type.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+EdgeType = Tuple[str, str, str]  # (src_node_type, relation, dst_node_type)
+
+
+def edge_key(et: EdgeType) -> str:
+    return "__".join(et)
+
+
+@dataclasses.dataclass(frozen=True)
+class KGMetadata:
+    """Static schema: node types and canonical edge types (PyG metadata())."""
+
+    node_types: Tuple[str, ...]
+    edge_types: Tuple[EdgeType, ...]
+
+    def __post_init__(self):
+        object.__setattr__(self, "node_types", tuple(self.node_types))
+        object.__setattr__(
+            self, "edge_types", tuple(tuple(e) for e in self.edge_types)
+        )
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class HeteroKGBatch:
+    """Padded heterogeneous graph.
+
+    node_feats: {node_type: [N_t, F_t]} float32.
+    edge_src/edge_dst: {edge_key: [E_r]} int32 (padding -> 0, masked).
+    edge_mask: {edge_key: [E_r]} bool.
+    drug_index_map: [num_kg_drugs] int32 -- global drug id of each row of
+      node_feats['drug'] (reference kg_drug_index_map, data_utils.py:299).
+    metadata: static schema.
+    """
+
+    node_feats: Dict[str, jnp.ndarray]
+    edge_src: Dict[str, jnp.ndarray]
+    edge_dst: Dict[str, jnp.ndarray]
+    edge_mask: Dict[str, jnp.ndarray]
+    drug_index_map: jnp.ndarray
+    metadata: KGMetadata = dataclasses.field(metadata=dict(static=True))
+
+    def num_nodes(self, node_type: str) -> int:
+        return self.node_feats[node_type].shape[0]
+
+
+def build_kg_batch(
+    node_feats: Dict[str, np.ndarray],
+    edge_indices: Dict[EdgeType, np.ndarray],  # [2, E] per canonical triple
+    drug_ids: Sequence[int],
+    pad_multiple: int = 512,
+    edge_budgets: Dict[str, int] | None = None,
+) -> HeteroKGBatch:
+    """Assemble a padded HeteroKGBatch from host arrays."""
+    metadata = KGMetadata(
+        node_types=tuple(sorted(node_feats)),
+        edge_types=tuple(sorted(edge_indices)),
+    )
+    src_d, dst_d, mask_d = {}, {}, {}
+    for et, ei in edge_indices.items():
+        k = edge_key(et)
+        ei = np.asarray(ei)
+        e = ei.shape[1]
+        budget = (edge_budgets or {}).get(k) or max(
+            ((e + pad_multiple - 1) // pad_multiple) * pad_multiple, pad_multiple
+        )
+        if e > budget:
+            raise ValueError(f"edge budget too small for {k}: {e} > {budget}")
+        src = np.zeros((budget,), np.int32)
+        dst = np.zeros((budget,), np.int32)
+        msk = np.zeros((budget,), bool)
+        src[:e] = ei[0]
+        dst[:e] = ei[1]
+        msk[:e] = True
+        src_d[k], dst_d[k], mask_d[k] = (
+            jnp.asarray(src), jnp.asarray(dst), jnp.asarray(msk),
+        )
+    return HeteroKGBatch(
+        node_feats={k: jnp.asarray(v, jnp.float32) for k, v in node_feats.items()},
+        edge_src=src_d,
+        edge_dst=dst_d,
+        edge_mask=mask_d,
+        drug_index_map=jnp.asarray(np.asarray(drug_ids, np.int32)),
+        metadata=metadata,
+    )
+
+
+def remove_edges_attached_to_drugs(
+    edge_indices: Dict[EdgeType, np.ndarray],
+    drug_rows: np.ndarray,
+    num_drug_nodes: int,
+) -> Dict[EdgeType, np.ndarray]:
+    """Drop KG edges touching the given drug-node rows (leakage control for
+    eval drugs; reference: data_utils.py:279-293)."""
+    keep_mask = np.ones((num_drug_nodes,), dtype=bool)
+    keep_mask[drug_rows] = False
+    out = {}
+    for et, ei in edge_indices.items():
+        src_t, _, dst_t = et
+        ei = np.asarray(ei)
+        keep = np.ones(ei.shape[1], dtype=bool)
+        if src_t == "drug":
+            keep &= keep_mask[ei[0]]
+        if dst_t == "drug":
+            keep &= keep_mask[ei[1]]
+        out[et] = ei[:, keep]
+    return out
+
+
+def drug_row_lookup(drug_index_map: np.ndarray, num_total_drugs: int) -> np.ndarray:
+    """Inverse map: global drug id -> row in the KG drug-node table, or -1.
+
+    The reference pads non-KG drugs with randn then masks them downstream
+    (models.py:734); we instead gather row -1 -> zeros, which is
+    masked-equivalent and deterministic (SURVEY.md section 7.3).
+    """
+    lut = np.full((num_total_drugs,), -1, dtype=np.int32)
+    lut[np.asarray(drug_index_map)] = np.arange(len(drug_index_map), dtype=np.int32)
+    return lut

@@ -1,0 +1,185 @@
+"""Synthetic miniature Madrigal dataset generator.
+
+The reference repo ships no data (its metadata pkl / KG / signature CSVs
+live on external storage -- reference README.md setup section). This module
+fabricates a structurally-faithful miniature dataset so tests, benches and
+the end-to-end training loops exercise every code path: per-drug molecules,
+a small heterogeneous KG, cv/tx signature tables, modality-availability
+masks, and a directed long-format DDI table with fixed negatives
+(reference formats: madrigal/data/data.py:556-612, 759-974).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from ..constants import (
+    BOND_DIM,
+    CELL_LINES,
+    CV_INPUT_DIM,
+    MOL_DIM,
+    NUM_CELL_LINES,
+    NUM_MODALITIES,
+    NUM_NON_TX_MODALITIES,
+    TX_INPUT_DIM,
+)
+
+
+@dataclasses.dataclass
+class SyntheticDataset:
+    num_drugs: int
+    num_labels: int
+    molecules: List[dict]  # per-drug graph dicts (molgraph.pack_molecules fmt)
+    mod_avail: np.ndarray  # [num_drugs, NUM_MODALITIES] 1=available
+    cv_table: np.ndarray  # [num_drugs, CV_INPUT_DIM]
+    tx_table: np.ndarray  # [NUM_CELL_LINES, num_drugs, TX_INPUT_DIM]
+    tx_dosages: np.ndarray  # [NUM_CELL_LINES, num_drugs]
+    kg_node_feats: Dict[str, np.ndarray]
+    kg_edge_indices: Dict[tuple, np.ndarray]
+    kg_drug_ids: np.ndarray  # global drug id per KG drug-node row
+    edge_df: "object"  # pandas DataFrame: head, tail, label_indexed, neg_*
+
+    @property
+    def masks(self) -> np.ndarray:
+        """Key-padding convention: True = missing (reference data.py:944)."""
+        return self.mod_avail == 0
+
+
+def random_molecule(rng: np.random.RandomState, n_atoms: int) -> dict:
+    node_feats = (rng.rand(n_atoms, MOL_DIM) < 0.15).astype(np.float32)
+    edges, feats = [], []
+    for i in range(1, n_atoms):
+        j = int(rng.randint(0, i))
+        f = (rng.rand(BOND_DIM) < 0.3).astype(np.float32)
+        edges += [(i, j), (j, i)]
+        feats += [f, f]
+    # a few extra ring-closure bonds
+    for _ in range(max(0, n_atoms // 4)):
+        i, j = rng.randint(0, n_atoms, 2)
+        if i == j:
+            continue
+        f = (rng.rand(BOND_DIM) < 0.3).astype(np.float32)
+        edges += [(i, j), (j, i)]
+        feats += [f, f]
+    return {
+        "node_feats": node_feats,
+        "edge_index": np.asarray(edges, np.int32).reshape(-1, 2),
+        "edge_feats": np.asarray(feats, np.float32).reshape(-1, BOND_DIM),
+    }
+
+
+def make_dataset(
+    num_drugs: int = 32,
+    num_labels: int = 12,
+    num_edges: int = 120,
+    num_proteins: int = 40,
+    num_diseases: int = 20,
+    kg_feat_dim: int = 24,
+    kg_drug_fraction: float = 0.8,
+    seed: int = 0,
+) -> SyntheticDataset:
+    import pandas as pd
+
+    rng = np.random.RandomState(seed)
+    molecules = [
+        random_molecule(rng, int(rng.randint(4, 24))) for _ in range(num_drugs)
+    ]
+
+    # modality availability: str always available; kg only for drugs in KG;
+    # cv/tx random; every drug has >= 1 modality (str)
+    num_kg_drugs = max(2, int(num_drugs * kg_drug_fraction))
+    kg_drug_ids = np.sort(
+        rng.choice(num_drugs, size=num_kg_drugs, replace=False)
+    )
+    mod_avail = np.zeros((num_drugs, NUM_MODALITIES), dtype=np.int64)
+    mod_avail[:, 0] = 1
+    mod_avail[kg_drug_ids, 1] = 1
+    mod_avail[:, 2] = rng.rand(num_drugs) < 0.6
+    for c in range(NUM_CELL_LINES):
+        mod_avail[:, NUM_NON_TX_MODALITIES + c] = rng.rand(num_drugs) < 0.3
+
+    cv_table = rng.randn(num_drugs, CV_INPUT_DIM).astype(np.float32)
+    cv_table[mod_avail[:, 2] == 0] = 0.0
+    tx_table = rng.randn(NUM_CELL_LINES, num_drugs, TX_INPUT_DIM).astype(
+        np.float32
+    )
+    for c in range(NUM_CELL_LINES):
+        tx_table[c, mod_avail[:, NUM_NON_TX_MODALITIES + c] == 0] = 0.0
+    tx_dosages = (
+        rng.rand(NUM_CELL_LINES, num_drugs).astype(np.float32) * 10.0
+    )
+    tx_dosages[tx_table.sum(-1) == 0] = 0.0
+
+    # small PrimeKG-like heterogeneous graph
+    kg_node_feats = {
+        "drug": rng.randn(num_kg_drugs, kg_feat_dim).astype(np.float32),
+        "protein": rng.randn(num_proteins, kg_feat_dim).astype(np.float32),
+        "disease": rng.randn(num_diseases, kg_feat_dim).astype(np.float32),
+    }
+
+    def rand_edges(ns, nd, e):
+        return np.stack([rng.randint(0, ns, e), rng.randint(0, nd, e)])
+
+    kg_edge_indices = {
+        ("drug", "targets", "protein"): rand_edges(num_kg_drugs, num_proteins, 80),
+        ("protein", "rev_targets", "drug"): rand_edges(num_proteins, num_kg_drugs, 80),
+        ("protein", "ppi", "protein"): rand_edges(num_proteins, num_proteins, 120),
+        ("drug", "indication", "disease"): rand_edges(num_kg_drugs, num_diseases, 40),
+        ("disease", "rev_indication", "drug"): rand_edges(num_diseases, num_kg_drugs, 40),
+        ("protein", "assoc", "disease"): rand_edges(num_proteins, num_diseases, 60),
+        ("disease", "rev_assoc", "protein"): rand_edges(num_diseases, num_proteins, 60),
+    }
+
+    # directed long-format DDI table with fixed negatives
+    # (reference data.py:556-612: head, tail, label_indexed, neg_head, neg_tail)
+    seen = set()
+    rows = []
+    while len(rows) < num_edges:
+        h, t = rng.randint(0, num_drugs, 2)
+        l = int(rng.randint(0, num_labels))
+        if h == t or (l, h, t) in seen or (l, t, h) in seen:
+            continue
+        seen.add((l, h, t))
+        rows.append((h, t, l))
+    heads, tails, labels = map(np.asarray, zip(*rows))
+
+    def sample_neg(exclude_pairs, n):
+        out = np.empty(n, dtype=np.int64)
+        for i in range(n):
+            while True:
+                cand = int(rng.randint(0, num_drugs))
+                if (labels[i], heads[i], cand) not in seen and (
+                    labels[i], cand, tails[i]
+                ) not in seen and cand != heads[i] and cand != tails[i]:
+                    out[i] = cand
+                    break
+        return out
+
+    neg_heads = sample_neg(seen, num_edges)
+    neg_tails = sample_neg(seen, num_edges)
+
+    edge_df = pd.DataFrame(
+        {
+            "head": heads,
+            "tail": tails,
+            "label_indexed": labels,
+            "neg_head": neg_heads,
+            "neg_tail": neg_tails,
+        }
+    )
+
+    return SyntheticDataset(
+        num_drugs=num_drugs,
+        num_labels=num_labels,
+        molecules=molecules,
+        mod_avail=mod_avail,
+        cv_table=cv_table,
+        tx_table=tx_table,
+        tx_dosages=tx_dosages,
+        kg_node_feats=kg_node_feats,
+        kg_edge_indices=kg_edge_indices,
+        kg_drug_ids=kg_drug_ids,
+        edge_df=edge_df,
+    )

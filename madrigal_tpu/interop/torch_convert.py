@@ -157,3 +157,112 @@ def strip_torchdrug_model_prefix(sd: Dict) -> Dict:
         if k.startswith("layer"):
             out[k] = v
     return out
+
+
+# ---------------------------------------------------------------------------
+# torch.nn.MultiheadAttention / TransformerEncoder
+# ---------------------------------------------------------------------------
+
+def convert_mha(sd: Dict, prefix: str) -> dict:
+    """Split torch's packed in_proj ([3E, E]) into q/k/v Dense params."""
+    w = _np(sd[f"{prefix}.in_proj_weight"])
+    b = _np(sd[f"{prefix}.in_proj_bias"])
+    e = w.shape[1]
+    return {
+        "q_proj": {"kernel": w[:e].T, "bias": b[:e]},
+        "k_proj": {"kernel": w[e : 2 * e].T, "bias": b[e : 2 * e]},
+        "v_proj": {"kernel": w[2 * e :].T, "bias": b[2 * e :]},
+        "out_proj": _dense(sd, f"{prefix}.out_proj"),
+    }
+
+
+def convert_transformer_layer(sd: Dict, prefix: str) -> dict:
+    return {
+        "self_attn": convert_mha(sd, f"{prefix}.self_attn"),
+        "linear1": _dense(sd, f"{prefix}.linear1"),
+        "linear2": _dense(sd, f"{prefix}.linear2"),
+        "norm1": _ln(sd, f"{prefix}.norm1"),
+        "norm2": _ln(sd, f"{prefix}.norm2"),
+    }
+
+
+def convert_transformer_encoder(sd: Dict, num_layers: int,
+                                prefix: str = "layers") -> dict:
+    return {
+        f"layer_{i}": convert_transformer_layer(sd, f"{prefix}.{i}")
+        for i in range(num_layers)
+    }
+
+
+def convert_transformer_fusion(sd: Dict, num_layers: int, agg: str,
+                               prefix: str = "") -> dict:
+    """Reference TransformerFusion state dict (models.py:352-399) -> flax.
+
+    Keys: embed2latent, transformer_encoder.layers.{i}.*, latent2embed,
+    and for agg='x-attn': x_attn_kv_norm, x_attn_query_norm, x_attn_mha_layer,
+    x_attn_query.
+    """
+    p = prefix + "." if prefix else ""
+    out = {
+        "embed2latent": _dense(sd, f"{p}embed2latent"),
+        "latent2embed": _dense(sd, f"{p}latent2embed"),
+        "transformer_encoder": convert_transformer_encoder(
+            sd, num_layers, prefix=f"{p}transformer_encoder.layers"
+        ),
+    }
+    if agg == "x-attn":
+        out["x_attn_kv_norm"] = _ln(sd, f"{p}x_attn_kv_norm")
+        out["x_attn_query_norm"] = _ln(sd, f"{p}x_attn_query_norm")
+        out["x_attn_mha"] = convert_mha(sd, f"{p}x_attn_mha_layer")
+        out["x_attn_query"] = _np(sd[f"{p}x_attn_query"])
+    return out
+
+
+# ---------------------------------------------------------------------------
+# chemCPA TxAdaptingComPert (chemCPA/model.py:290-712). The reference loads a
+# tuple (state_dict, opt, cov_embeddings_state_dicts, model_config, history)
+# and side-loads covariate embeddings (models.py:300-342).
+# ---------------------------------------------------------------------------
+
+def convert_chemcpa(
+    sd: Dict,
+    cov_embedding_weight,
+    encoder_depth: int = 2,
+    embedding_encoder_depth: int = 3,
+    dosers_depth: int = 4,
+    use_drugs: bool = False,
+    doser_type: str = "amortized",
+    drug_embedding_weight=None,
+) -> Tuple[dict, dict]:
+    params: dict = {}
+    stats: dict = {}
+
+    for name, depth in (("encoder", encoder_depth), ("decoder", encoder_depth)):
+        sub = filter_prefix(sd, name)
+        p, s = convert_chemcpa_mlp(sub, num_linear=depth + 1)
+        params[name] = p
+        if s:
+            stats[name] = s
+
+    params["cov_embedding"] = {"embedding": _np(cov_embedding_weight)}
+
+    if use_drugs:
+        if drug_embedding_weight is not None:
+            params["drug_embeddings"] = {"embedding": _np(drug_embedding_weight)}
+        sub = filter_prefix(sd, "drug_embedding_encoder")
+        p, s = convert_chemcpa_mlp(sub, num_linear=embedding_encoder_depth + 1)
+        params["drug_embedding_encoder"] = p
+        if s:
+            stats["drug_embedding_encoder"] = s
+        if doser_type == "amortized":
+            sub = filter_prefix(sd, "dosers")
+            p, s = convert_chemcpa_mlp(sub, num_linear=dosers_depth + 1)
+            params["dosers"] = p
+            if s:
+                stats["dosers"] = s
+        elif doser_type in ("sigm", "logsigm"):
+            params["dosers"] = {
+                "beta": _np(sd["dosers.beta"]),
+                "bias": _np(sd["dosers.bias"]),
+            }
+    return params, stats

@@ -1,0 +1,175 @@
+"""Multi-head attention and transformer encoder layers.
+
+Semantics-compatible with torch.nn.MultiheadAttention /
+nn.TransformerEncoderLayer as used by the reference fusion module
+(reference: madrigal/models/models.py:366-367,374-379). The reference
+disables torch's nested-tensor fast path (`enable_nested_tensor=False`,
+models.py:367) precisely because correctness under per-sample key-padding
+masks matters; here masking is explicit math, so the whole fused sequence
+(<= ~21 tokens) compiles to a handful of MXU matmuls per layer.
+
+The fusion sequence is tiny, so plain XLA attention is optimal (a Pallas
+flash-attention kernel would only add overhead at seq_len 21 -- see
+SURVEY.md section 7.1 item 3); the Pallas budget goes to the bilinear
+pairxoutcome scorer instead.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from .mlp import activation
+
+NEG_INF = -1e9  # large-negative used in masked softmax (avoids NaN rows)
+
+
+class MultiheadAttention(nn.Module):
+    """torch.nn.MultiheadAttention-compatible (batch_first semantics).
+
+    Parameters mirror torch's packed in_proj ([3E, E]) as three Dense
+    modules `q_proj`/`k_proj`/`v_proj` plus `out_proj`; the converter splits
+    torch's packed weight.
+    """
+
+    embed_dim: int
+    num_heads: int
+    dropout: float = 0.0
+
+    @nn.compact
+    def __call__(
+        self,
+        query,  # [B, Tq, E]
+        key,  # [B, Tk, E]
+        value,  # [B, Tk, E]
+        key_padding_mask=None,  # [B, Tk] bool, True = ignore
+        attn_mask=None,  # [Tq, Tk] bool, True = disallow
+        *,
+        train: bool = False,
+        return_weights: bool = False,
+    ):
+        B, Tq, E = query.shape
+        Tk = key.shape[1]
+        H = self.num_heads
+        D = E // H
+        assert D * H == E
+
+        q = nn.Dense(E, name="q_proj")(query)
+        k = nn.Dense(E, name="k_proj")(key)
+        v = nn.Dense(E, name="v_proj")(value)
+
+        q = q.reshape(B, Tq, H, D).transpose(0, 2, 1, 3)
+        k = k.reshape(B, Tk, H, D).transpose(0, 2, 1, 3)
+        v = v.reshape(B, Tk, H, D).transpose(0, 2, 1, 3)
+
+        scale = 1.0 / jnp.sqrt(jnp.asarray(D, dtype=q.dtype))
+        logits = jnp.einsum("bhqd,bhkd->bhqk", q * scale, k)
+
+        mask = jnp.zeros((B, 1, Tq, Tk), dtype=bool)
+        if key_padding_mask is not None:
+            mask = mask | key_padding_mask[:, None, None, :]
+        if attn_mask is not None:
+            mask = mask | attn_mask[None, None, :, :]
+        logits = jnp.where(mask, NEG_INF, logits)
+
+        weights = nn.softmax(logits, axis=-1)
+        if self.dropout > 0:
+            weights = nn.Dropout(rate=self.dropout, deterministic=not train,
+                                 name="attn_drop")(weights)
+        out = jnp.einsum("bhqk,bhkd->bhqd", weights, v)
+        out = out.transpose(0, 2, 1, 3).reshape(B, Tq, E)
+        out = nn.Dense(E, name="out_proj")(out)
+        if return_weights:
+            return out, weights  # [B, H, Tq, Tk]
+        return out
+
+
+class TransformerEncoderLayer(nn.Module):
+    """torch.nn.TransformerEncoderLayer-compatible block."""
+
+    d_model: int
+    nhead: int
+    dim_feedforward: int
+    dropout: float = 0.1
+    actn: str = "relu"
+    norm_first: bool = False
+
+    @nn.compact
+    def __call__(self, x, key_padding_mask=None, attn_mask=None, *,
+                 train: bool = False, return_weights: bool = False):
+        act = activation(self.actn)
+        attn = MultiheadAttention(
+            embed_dim=self.d_model, num_heads=self.nhead,
+            dropout=self.dropout, name="self_attn",
+        )
+        norm1 = nn.LayerNorm(epsilon=1e-5, name="norm1")
+        norm2 = nn.LayerNorm(epsilon=1e-5, name="norm2")
+        drop1 = nn.Dropout(rate=self.dropout, deterministic=not train,
+                           name="dropout1")
+        drop2 = nn.Dropout(rate=self.dropout, deterministic=not train,
+                           name="dropout2")
+        drop_ffn = nn.Dropout(rate=self.dropout, deterministic=not train,
+                              name="dropout_ffn")
+        lin1 = nn.Dense(self.dim_feedforward, name="linear1")
+        lin2 = nn.Dense(self.d_model, name="linear2")
+
+        weights = None
+
+        def sa(h):
+            nonlocal weights
+            out = attn(h, h, h, key_padding_mask=key_padding_mask,
+                       attn_mask=attn_mask, train=train,
+                       return_weights=return_weights)
+            if return_weights:
+                out, weights = out
+            return drop1(out)
+
+        def ff(h):
+            return drop2(lin2(drop_ffn(act(lin1(h)))))
+
+        if self.norm_first:
+            x = x + sa(norm1(x))
+            x = x + ff(norm2(x))
+        else:
+            x = norm1(x + sa(x))
+            x = norm2(x + ff(x))
+        if return_weights:
+            return x, weights
+        return x
+
+
+class TransformerEncoder(nn.Module):
+    """Stack of encoder layers. The last layer can expose attention weights
+    (the reference hook-patches the last layer's MHA to capture weights for
+    analysis -- models.py:388-399)."""
+
+    num_layers: int
+    d_model: int
+    nhead: int
+    dim_feedforward: int
+    dropout: float = 0.1
+    actn: str = "relu"
+    norm_first: bool = False
+
+    @nn.compact
+    def __call__(self, x, key_padding_mask=None, attn_mask=None, *,
+                 train: bool = False, return_last_attn: bool = False):
+        last_weights = None
+        for i in range(self.num_layers):
+            want = return_last_attn and (i == self.num_layers - 1)
+            layer = TransformerEncoderLayer(
+                d_model=self.d_model, nhead=self.nhead,
+                dim_feedforward=self.dim_feedforward, dropout=self.dropout,
+                actn=self.actn, norm_first=self.norm_first,
+                name=f"layer_{i}",
+            )
+            out = layer(x, key_padding_mask, attn_mask, train=train,
+                        return_weights=want)
+            if want:
+                x, last_weights = out
+            else:
+                x = out
+        if return_last_attn:
+            return x, last_weights
+        return x

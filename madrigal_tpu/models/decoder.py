@@ -1,0 +1,81 @@
+"""Symmetric bilinear DDI decoder.
+
+Reference: madrigal/models/models.py:522-547 (BilinearDDIScorer + Symmetric
+parametrization) and models.py:914-953 (NovelDDIMultilabel wiring).
+
+score[l, i, j] = z_head[i] @ W_sym[l] @ z_tail[j]
+with W_sym = triu(W) + triu(W, 1)^T per outcome label (no bias).
+
+Two scoring paths:
+  * `all_pairs`: [L_chunk, N_head, N_tail] dense block -- the serving /
+    all-pairs workload (maps onto two MXU batched matmuls; the sharded
+    streaming version lives in parallel/allpairs.py).
+  * `triples`: gathers only the (label, head, tail) entries a loss needs
+    (SURVEY.md section 7.3: replaces the reference's full [L,N,N] tensor +
+    fancy-indexing during training, which is both faster and memory-safe).
+"""
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+
+def symmetrize(w):
+    """triu(W) + triu(W,1)^T over the last two dims (models.py:522-524)."""
+    upper = jnp.triu(w)
+    strict = jnp.triu(w, 1)
+    return upper + jnp.swapaxes(strict, -1, -2)
+
+
+class BilinearDDIScorer(nn.Module):
+    """Per-outcome symmetric bilinear scorer, weight [L, D1, D2]."""
+
+    num_labels: int
+    input_dim1: int
+    input_dim2: int
+
+    def setup(self):
+        # torch nn.Bilinear init: U(-1/sqrt(in1), 1/sqrt(in1))
+        bound = 1.0 / (self.input_dim1 ** 0.5)
+
+        def init(key, shape):
+            import jax
+            return jax.random.uniform(key, shape, minval=-bound, maxval=bound)
+
+        self.weight = self.param(
+            "weight", init,
+            (self.num_labels, self.input_dim1, self.input_dim2),
+        )
+
+    def _w(self, label_range: Optional[Tuple[int, int]] = None):
+        w = self.weight
+        if label_range is not None:
+            w = w[label_range[0] : label_range[1]]
+        return symmetrize(w)
+
+    def __call__(self, z_head, z_tail, label_range=None):
+        return self.all_pairs(z_head, z_tail, label_range)
+
+    def all_pairs(self, z_head, z_tail, label_range=None):
+        """[L, N_head, N_tail] scores (models.py:537-547)."""
+        w = self._w(label_range)
+        zw = jnp.einsum("nd,lde->lne", z_head, w)
+        return jnp.einsum("lne,me->lnm", zw, z_tail)
+
+    def triples(self, z_head, z_tail, labels):
+        """Scores for aligned (head, tail, label) triples.
+
+        z_head/z_tail: [T, D]; labels: [T] int -> [T] scores.
+        One gather + two small contractions; avoids the [L, N, N] tensor.
+        """
+        w = symmetrize(self.weight)[labels]  # [T, D, D]
+        return jnp.einsum("td,tde,te->t", z_head, w, z_tail)
+
+    def pairs_all_labels(self, z_head, z_tail):
+        """Scores for aligned (head, tail) pairs across all labels:
+        z_head/z_tail [T, D] -> [T, L]."""
+        w = symmetrize(self.weight)
+        zw = jnp.einsum("td,lde->tle", z_head, w)
+        return jnp.einsum("tle,te->tl", zw, z_tail)

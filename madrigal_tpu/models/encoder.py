@@ -1,0 +1,371 @@
+"""MadrigalEncoder: the per-drug multimodal encoder.
+
+TPU-native equivalent of the reference's NovelDDIEncoder
+(reference: madrigal/models/models.py:607-899): four modality encoders ->
+[B, NUM_MODALITIES, D] token stack -> missing-modality-masked transformer
+fusion with optional tx attention bottlenecks; unimodal drugs bypass the
+transformer through an MLP fuser (models.py:855-865).
+
+Key TPU-first deviations (all masked-equivalent, SURVEY.md section 7.3):
+  * uni/multimodal routing is select-based (`jnp.where`), not boolean
+    indexing: both paths run for all rows, keeping shapes static.
+  * drugs absent from the KG gather zeros instead of the reference's
+    randn padding (models.py:734) -- deterministic and masked downstream.
+  * the KG node table can be computed once per step and shared between the
+    head/tail encodes (the reference re-runs full-KG message passing per
+    encode call -- SURVEY.md section 3.1 hot loop).
+"""
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import EncoderConfig
+from ..constants import NUM_CELL_LINES
+from ..data.batch import DrugModalityBatch
+from ..data.kg import HeteroKGBatch
+from .chemcpa import ChemCPAEncoder
+from .decoder import BilinearDDIScorer
+from .fusion import PositionEncoding, TransformerFusion, build_bottleneck_masks
+from .gin import GINEncoder
+from .hgt import HGTEncoder
+from .mlp import MLPEncoder
+
+
+class MadrigalEncoder(nn.Module):
+    cfg: EncoderConfig
+
+    def setup(self):
+        c = self.cfg
+        if c.str_encoder == "gin":
+            self.str_enc = GINEncoder(
+                hidden_dims=tuple(c.gin.hidden_dims) + (c.feature_dim,),
+                num_mlp_layer=c.gin.num_mlp_layer,
+                eps_init=c.gin.eps,
+                learn_eps=c.gin.learn_eps,
+                batch_norm=c.gin.batch_norm,
+                actn=c.gin.actn,
+                readout=c.gin.readout,
+                name="str_encoder",
+            )
+        else:
+            raise NotImplementedError(c.str_encoder)
+
+        if c.kg_encoder in ("hgt", "hgt_drug_edge_only"):
+            self.kg_enc = HGTEncoder(
+                cfg=c.hgt, embed_dim=c.feature_dim, drug_only_head=True,
+                name="kg_encoder",
+            )
+        else:
+            raise NotImplementedError(c.kg_encoder)
+
+        self.cv_enc = MLPEncoder(
+            hidden_dims=tuple(c.cv.hidden_dims),
+            output_dim=c.feature_dim,
+            dropout=c.cv.dropout,
+            norm=c.cv.norm,
+            actn=c.cv.actn,
+            order=c.cv.order,
+            name="cv_encoder",
+        )
+        self.extra_tabular_encs = {
+            mod: MLPEncoder(
+                hidden_dims=tuple(mc.hidden_dims),
+                output_dim=c.feature_dim,
+                dropout=mc.dropout,
+                norm=mc.norm,
+                actn=mc.actn,
+                order=mc.order,
+                name=f"tab_encoder_{mod}",
+            )
+            for mod, mc in c.extra_tabular.items()
+        }
+
+        if c.tx_encoder == "chemcpa":
+            self.tx_enc = ChemCPAEncoder(cfg=c.chemcpa, name="tx_encoder")
+        elif c.tx_encoder == "mlp":
+            self.tx_enc = MLPEncoder(
+                hidden_dims=tuple(c.tx_mlp.hidden_dims),
+                output_dim=c.feature_dim,
+                dropout=c.tx_mlp.dropout,
+                norm=c.tx_mlp.norm,
+                actn=c.tx_mlp.actn,
+                order=c.tx_mlp.order,
+                name="tx_encoder",
+            )
+        else:
+            raise NotImplementedError(c.tx_encoder)
+
+        num_bt = c.transformer.num_tx_bottlenecks
+        if num_bt > 0:
+            self.tx_bottleneck_tokens = self.param(
+                "tx_bottleneck_tokens",
+                nn.initializers.normal(stddev=1.0),
+                (num_bt, c.feature_dim),
+            )
+        if c.transformer.agg == "cls":
+            self.cls = self.param(
+                "cls", nn.initializers.normal(stddev=1.0), (1, c.feature_dim)
+            )
+
+        self.pos_encoder = PositionEncoding(
+            max_len=c.pos_emb_max_len,
+            d_model=c.feature_dim,
+            pe_type=c.pos_emb_type,
+            dropout=c.pos_emb_dropout,
+            name="pos_encoder",
+        )
+        self.transformer = TransformerFusion(
+            cfg=c.transformer,
+            embed_dim=c.feature_dim,
+            num_kv_tokens=c.num_modalities + num_bt,
+            num_non_tx=c.num_non_tx_modalities,
+            name="transformer",
+        )
+        self.uni_projector = MLPEncoder(
+            hidden_dims=tuple(c.proj.hidden_dims),
+            output_dim=c.feature_dim,
+            dropout=c.proj.dropout,
+            norm=c.proj.norm,
+            actn=c.proj.actn,
+            order=c.proj.order,
+            name="uni_projector",
+        )
+        if c.fusion == "transformer_uni_proj":
+            self.uni_fuser = MLPEncoder(
+                hidden_dims=tuple(c.proj.hidden_dims),
+                output_dim=c.feature_dim,
+                dropout=c.proj.dropout,
+                norm=c.proj.norm,
+                actn=c.proj.actn,
+                order=c.proj.order,
+                name="uni_fuser",
+            )
+
+    def kg_drug_table(self, kg: HeteroKGBatch, *, train: bool = False):
+        """Run full-KG message passing once; returns the drug-node embedding
+        table [N_kg_drugs, D]. Reference: models.py:727-729."""
+        return self.kg_enc(kg, train=train)["drug"]
+
+    def modality_tokens(
+        self,
+        batch: DrugModalityBatch,
+        kg: Optional[HeteroKGBatch] = None,
+        kg_drug_table=None,
+        *,
+        train: bool = False,
+    ):
+        """Compute the [B, NUM_MODALITIES, D] per-modality token stack
+        (reference: models.py:717-775)."""
+        c = self.cfg
+        str_out, _ = self.str_enc(batch.mols, train=train)
+
+        if kg_drug_table is None:
+            assert kg is not None, "need kg batch or precomputed drug table"
+            kg_drug_table = self.kg_drug_table(kg, train=train)
+        rows = jnp.clip(batch.kg_rows, 0, kg_drug_table.shape[0] - 1)
+        kg_out = kg_drug_table[rows]
+        kg_out = jnp.where((batch.kg_rows >= 0)[:, None], kg_out, 0.0)
+
+        cv_out = self.cv_enc(batch.cv, train=train)
+        extra_out = [
+            self.extra_tabular_encs[mod](batch.extra_tabular[mod], train=train)
+            for mod in sorted(self.extra_tabular_encs)
+        ]
+
+        C = batch.tx_sigs.shape[0]
+        B = batch.batch_size
+        if c.tx_encoder == "chemcpa":
+            genes = batch.tx_sigs.reshape(C * B, -1)
+            cov_idx = jnp.repeat(jnp.arange(C, dtype=jnp.int32), B)
+            drugs_idx = jnp.tile(batch.drugs, (C,)) if c.chemcpa.use_drugs else None
+            dosages = batch.tx_dosages.reshape(C * B) if c.chemcpa.use_drugs else None
+            tx_latent = self.tx_enc(
+                genes, cov_idx, drugs_idx, dosages, train=train,
+                return_basal=c.use_tx_basal,
+            )
+            tx_tokens = tx_latent.reshape(C, B, -1)
+        else:
+            tx_tokens = self.tx_enc(batch.tx_sigs, train=train)
+
+        tokens = jnp.stack(
+            [str_out, kg_out, cv_out] + extra_out + list(tx_tokens), axis=1
+        )
+        return tokens
+
+    def __call__(self, batch, kg=None, kg_drug_table=None, *, train=False,
+                 raw_encoder_output=False):
+        return self.encode(
+            batch, kg, kg_drug_table, train=train,
+            raw_encoder_output=raw_encoder_output,
+        )
+
+    def encode(
+        self,
+        batch: DrugModalityBatch,
+        kg: Optional[HeteroKGBatch] = None,
+        kg_drug_table=None,
+        *,
+        train: bool = False,
+        raw_encoder_output: bool = False,
+    ):
+        """Fused drug embedding z [B, D].
+
+        raw_encoder_output=True returns the projected single-available-
+        modality embedding per drug (the contrastive-learning path,
+        reference models.py:890-895; masks must select exactly one modality
+        per row, as in pretrain_mode='str_center_uni').
+        """
+        c = self.cfg
+        masks = batch.masks
+        all_embeds = self.modality_tokens(
+            batch, kg, kg_drug_table, train=train
+        )
+
+        if raw_encoder_output:
+            avail = (~masks).astype(all_embeds.dtype)
+            onehot = avail * (
+                jnp.cumsum(avail, axis=1) == 1.0
+            )  # first available modality
+            uni = jnp.einsum("bm,bmd->bd", onehot, all_embeds)
+            if c.normalize:
+                uni = uni / jnp.linalg.norm(uni, axis=-1, keepdims=True)
+            return self.uni_projector(uni, train=train)
+
+        if c.adapt_before_fusion:
+            all_embeds = self.uni_projector(all_embeds, train=train)
+
+        if c.fusion in ("transformer_uni_proj", "transformer"):
+            seq = all_embeds
+            fusion_mask = masks
+            src_mask = None
+            num_bt = c.transformer.num_tx_bottlenecks
+            B = seq.shape[0]
+            if num_bt > 0:
+                bt = jnp.broadcast_to(
+                    self.tx_bottleneck_tokens[None],
+                    (B, num_bt, c.feature_dim),
+                )
+                n_nontx = c.num_non_tx_modalities
+                seq = jnp.concatenate(
+                    [seq[:, :n_nontx], bt, seq[:, n_nontx:]], axis=1
+                )
+                bt_mask = jnp.zeros((B, num_bt), dtype=bool)
+                fusion_mask = jnp.concatenate(
+                    [fusion_mask[:, :n_nontx], bt_mask, fusion_mask[:, n_nontx:]],
+                    axis=1,
+                )
+                src_mask = jnp.asarray(
+                    build_bottleneck_masks(
+                        n_nontx, num_bt, NUM_CELL_LINES,
+                        with_cls=(c.transformer.agg == "cls"),
+                    )
+                )
+            if c.transformer.agg == "cls":
+                cls_tok = jnp.broadcast_to(
+                    self.cls[None], (B, 1, c.feature_dim)
+                )
+                seq = jnp.concatenate([cls_tok, seq], axis=1)
+                fusion_mask = jnp.concatenate(
+                    [jnp.zeros((B, 1), dtype=bool), fusion_mask], axis=1
+                )
+            if c.normalize:
+                seq = seq / jnp.linalg.norm(seq, axis=-1, keepdims=True)
+            seq = self.pos_encoder(seq, train=train)
+            z_fusion = self.transformer(
+                seq, fusion_mask, src_mask, train=train
+            )
+
+            if c.fusion == "transformer_uni_proj":
+                avail = (~masks).astype(all_embeds.dtype)
+                onehot = avail * (jnp.cumsum(avail, axis=1) == 1.0)
+                uni = jnp.einsum("bm,bmd->bd", onehot, all_embeds)
+                if c.normalize:
+                    uni = uni / jnp.linalg.norm(uni, axis=-1, keepdims=True)
+                z_uni = self.uni_fuser(uni, train=train)
+                is_multi = jnp.sum(~masks, axis=1) > 1
+                z = jnp.where(is_multi[:, None], z_fusion, z_uni)
+            else:
+                z = z_fusion
+        elif c.fusion == "mean":
+            e = all_embeds
+            if c.normalize:
+                e = e / jnp.linalg.norm(e, axis=-1, keepdims=True)
+            keep = (~masks).astype(e.dtype)[..., None]
+            z = jnp.sum(e * keep, axis=1) / jnp.maximum(
+                jnp.sum(keep, axis=1), 1.0
+            )
+        elif c.fusion == "add":
+            e = all_embeds
+            if c.normalize:
+                e = e / jnp.linalg.norm(e, axis=-1, keepdims=True)
+            z = jnp.sum(e * (~masks).astype(e.dtype)[..., None], axis=1)
+        else:
+            raise NotImplementedError(c.fusion)
+
+        return z
+
+
+def _encoder_warmup(enc: "MadrigalEncoder", batch, kg):
+    z = enc.encode(batch, kg=kg, train=False)
+    z_raw = enc.encode(batch, kg=kg, raw_encoder_output=True, train=False)
+    return z + z_raw
+
+
+class MadrigalMultilabel(nn.Module):
+    """Encoder + symmetric bilinear decoder
+    (reference NovelDDIMultilabel, models.py:914-953)."""
+
+    enc_cfg: EncoderConfig
+    prediction_dim: int
+    decoder_normalize: bool = False
+
+    def setup(self):
+        self.encoder = MadrigalEncoder(cfg=self.enc_cfg, name="encoder")
+        self.decoder = BilinearDDIScorer(
+            num_labels=self.prediction_dim,
+            input_dim1=self.enc_cfg.feature_dim,
+            input_dim2=self.enc_cfg.feature_dim,
+            name="decoder",
+        )
+
+    def embed_pair(self, head, tail, kg, *, train=False):
+        """Encode head and tail batches, sharing one KG message pass."""
+        table = self.encoder.kg_drug_table(kg, train=train)
+        z_head = self.encoder.encode(head, kg_drug_table=table, train=train)
+        z_tail = self.encoder.encode(tail, kg_drug_table=table, train=train)
+        if self.decoder_normalize:
+            z_head = z_head / jnp.linalg.norm(z_head, axis=-1, keepdims=True)
+            z_tail = z_tail / jnp.linalg.norm(z_tail, axis=-1, keepdims=True)
+        return z_head, z_tail
+
+    def __call__(self, head, tail, kg, label_range=None, *, train=False):
+        z_head, z_tail = self.embed_pair(head, tail, kg, train=train)
+        return self.decoder.all_pairs(z_head, z_tail, label_range)
+
+    def score_triples(self, head, tail, kg, head_idx, tail_idx, labels, *,
+                      train=False):
+        """Triple-gather scoring: embeds unique heads/tails once, scores only
+        the (label, head, tail) entries needed (SURVEY.md section 7.3)."""
+        z_head, z_tail = self.embed_pair(head, tail, kg, train=train)
+        return self.decoder.triples(z_head[head_idx], z_tail[tail_idx], labels)
+
+    def warmup(self, head, tail, kg):
+        """Trace every parameterized path for full flax init."""
+        z = _encoder_warmup(self.encoder, head, kg)
+        scores = self.decoder.all_pairs(z, z)
+        return jnp.sum(scores)
+
+
+def init_multilabel(model: MadrigalMultilabel, rng, head, tail, kg):
+    """Initialize the complete variable tree (params + batch_stats)."""
+    return model.init(rng, head, tail, kg, method=MadrigalMultilabel.warmup)
+
+
+def init_encoder(model: MadrigalEncoder, rng, batch, kg):
+    return model.init(
+        rng, batch, kg, method=lambda m, b, k: _encoder_warmup(m, b, k)
+    )

@@ -1,0 +1,137 @@
+"""Heterogeneous Graph Transformer (HGT) KG encoder.
+
+TPU-native re-implementation of the reference's PyG HGTConv stack
+(reference: madrigal/models/models.py:71-96 builds torch_geometric.nn.HGTConv
+layers; default 2 layers, hidden 128, 4 heads, group='sum' --
+parse_args.py:52-55).
+
+Per-layer math (PyG 2.3 HGTConv semantics):
+  per node type t:  [k|q|v] = x_t @ W_kqv_t          ([N_t, 3F] -> H heads)
+  per edge type r=(s,rel,d), per head h:
+      k' = k_s @ K_rel[r,h],  v' = v_s @ V_rel[r,h]   (node-level transforms)
+      alpha_e = (q_d[dst_e] . k'[src_e]) * p_rel[r,h] / sqrt(D)
+      alpha   = segment_softmax(alpha_e over dst_e)
+      m_d    += segment_sum(alpha * v'[src_e])        (group='sum' over edge
+                                                       types; mean/max opt.)
+  per node type t:  out = a_lin_t(gelu(m_t)); g = sigmoid(skip_t);
+                    out = g * out + (1 - g) * x_t  (when dims match)
+
+All edge types are unrolled statically; each is a dense gather +
+segment-softmax + segment-sum over padded edge arenas.
+"""
+from __future__ import annotations
+
+from typing import Dict
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from ..config import HGTConfig
+from ..data.kg import HeteroKGBatch, edge_key
+from ..ops.segment import segment_softmax, segment_sum
+
+
+class HGTConv(nn.Module):
+    out_channels: int
+    heads: int
+    group: str = "sum"
+
+    @nn.compact
+    def __call__(self, g: HeteroKGBatch, x_dict: Dict[str, jnp.ndarray]):
+        F = self.out_channels
+        H = self.heads
+        D = F // H
+        assert D * H == F
+
+        k_dict, q_dict, v_dict = {}, {}, {}
+        for nt in g.metadata.node_types:
+            kqv = nn.Dense(3 * F, name=f"kqv__{nt}")(x_dict[nt])
+            k, q, v = jnp.split(kqv, 3, axis=-1)
+            k_dict[nt] = k.reshape(-1, H, D)
+            q_dict[nt] = q.reshape(-1, H, D)
+            v_dict[nt] = v.reshape(-1, H, D)
+
+        agg: Dict[str, list] = {nt: [] for nt in g.metadata.node_types}
+        for et in g.metadata.edge_types:
+            src_t, _, dst_t = et
+            ek = edge_key(et)
+            k_rel = self.param(
+                f"k_rel__{ek}", nn.initializers.glorot_uniform(), (H, D, D)
+            )
+            v_rel = self.param(
+                f"v_rel__{ek}", nn.initializers.glorot_uniform(), (H, D, D)
+            )
+            p_rel = self.param(f"p_rel__{ek}", nn.initializers.ones, (H,))
+
+            # node-level relation transforms (cheaper than per-edge)
+            k_s = jnp.einsum("nhd,hde->nhe", k_dict[src_t], k_rel)
+            v_s = jnp.einsum("nhd,hde->nhe", v_dict[src_t], v_rel)
+
+            src = g.edge_src[ek]
+            dst = g.edge_dst[ek]
+            mask = g.edge_mask[ek]
+            n_dst = g.num_nodes(dst_t)
+            dst_safe = jnp.where(mask, dst, n_dst)
+
+            logits = (
+                jnp.sum(q_dict[dst_t][dst] * k_s[src], axis=-1)
+                * p_rel[None, :]
+                / jnp.sqrt(jnp.asarray(D, jnp.float32))
+            )  # [E, H]
+            alpha = segment_softmax(logits, dst_safe, n_dst, mask=mask)
+            msg = v_s[src] * alpha[..., None]  # [E, H, D]
+            out = segment_sum(msg, dst_safe, n_dst).reshape(n_dst, F)
+            agg[dst_t].append(out)
+
+        out_dict = {}
+        for nt in g.metadata.node_types:
+            x = x_dict[nt]
+            if not agg[nt]:
+                out_dict[nt] = x
+                continue
+            stacked = jnp.stack(agg[nt])
+            if self.group == "sum":
+                m = jnp.sum(stacked, axis=0)
+            elif self.group == "mean":
+                m = jnp.mean(stacked, axis=0)
+            elif self.group == "max":
+                m = jnp.max(stacked, axis=0)
+            else:
+                raise NotImplementedError(self.group)
+            out = nn.Dense(F, name=f"out__{nt}")(nn.gelu(m, approximate=False))
+            if out.shape[-1] == x.shape[-1]:
+                skip = self.param(f"skip__{nt}", nn.initializers.ones, (1,))
+                gate = nn.sigmoid(skip)
+                out = gate * out + (1.0 - gate) * x
+            out_dict[nt] = out
+        return out_dict
+
+
+class HGTEncoder(nn.Module):
+    """HGT stack + per-node-type output head (reference HGT class,
+    models.py:71-96: relu between convs except after the last, then
+    lin_dict per node type to embed_dim)."""
+
+    cfg: HGTConfig
+    embed_dim: int
+    drug_only_head: bool = False
+
+    @nn.compact
+    def __call__(self, g: HeteroKGBatch, *, train: bool = False):
+        x = dict(g.node_feats)
+        for i in range(self.cfg.num_layers):
+            x = HGTConv(
+                out_channels=self.cfg.hidden_dim, heads=self.cfg.att_heads,
+                group=self.cfg.group, name=f"conv_{i}",
+            )(g, x)
+            # reference relu placement (models.py:90-94): relu after conv i
+            # for 1 <= i <= num_layers-2 (never after conv 0 or the last)
+            if 1 <= i <= self.cfg.num_layers - 2:
+                x = {nt: nn.relu(h) for nt, h in x.items()}
+        out = {}
+        node_types = (
+            ("drug",) if self.drug_only_head else g.metadata.node_types
+        )
+        for nt in node_types:
+            out[nt] = nn.Dense(self.embed_dim, name=f"lin__{nt}")(x[nt])
+        return out

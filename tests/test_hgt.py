@@ -1,0 +1,147 @@
+"""HGT KG-encoder parity vs a torch fixture implementing the documented
+PyG 2.3 HGTConv math (the reference builds torch_geometric.nn.HGTConv at
+madrigal/models/models.py:71-96; PyG itself is not installed here, so the
+fixture is the oracle for the per-edge-type attention semantics)."""
+import numpy as np
+import torch
+
+import jax.numpy as jnp
+
+from madrigal_tpu.config import HGTConfig
+from madrigal_tpu.data.kg import (
+    HeteroKGBatch,
+    build_kg_batch,
+    drug_row_lookup,
+    edge_key,
+    remove_edges_attached_to_drugs,
+)
+from madrigal_tpu.models.hgt import HGTEncoder
+
+
+def torch_hgt_conv(x_dict, edges, params, heads, out_channels, group="sum"):
+    """One HGTConv layer in torch: per-node-type kqv, per-edge-type k/v
+    relation transforms + scaled-dot attention with segment softmax over
+    destinations, grouped aggregation, gelu + out linear + sigmoid-skip."""
+    H, F = heads, out_channels
+    D = F // H
+    k_d, q_d, v_d = {}, {}, {}
+    for nt, x in x_dict.items():
+        kqv = x @ params[f"kqv__{nt}"]["kernel"] + params[f"kqv__{nt}"]["bias"]
+        k, q, v = np.split(kqv, 3, axis=-1)
+        k_d[nt] = k.reshape(-1, H, D)
+        q_d[nt] = q.reshape(-1, H, D)
+        v_d[nt] = v.reshape(-1, H, D)
+
+    agg = {nt: [] for nt in x_dict}
+    for et, ei in edges.items():
+        src_t, _, dst_t = et
+        ek = edge_key(et)
+        k_rel = params[f"k_rel__{ek}"]
+        v_rel = params[f"v_rel__{ek}"]
+        p_rel = params[f"p_rel__{ek}"]
+        k_s = np.einsum("nhd,hde->nhe", k_d[src_t], k_rel)
+        v_s = np.einsum("nhd,hde->nhe", v_d[src_t], v_rel)
+        src, dst = ei[0], ei[1]
+        n_dst = x_dict[dst_t].shape[0]
+        logits = (q_d[dst_t][dst] * k_s[src]).sum(-1) * p_rel / np.sqrt(D)
+        # segment softmax over dst
+        alpha = np.zeros_like(logits)
+        out = np.zeros((n_dst, H, D))
+        for h in range(H):
+            for node in range(n_dst):
+                sel = dst == node
+                if not sel.any():
+                    continue
+                l = logits[sel, h]
+                e = np.exp(l - l.max())
+                a = e / e.sum()
+                out[node, h] = (a[:, None] * v_s[src][sel, h]).sum(0)
+        agg[dst_t].append(out.reshape(n_dst, F))
+
+    out_dict = {}
+    for nt, x in x_dict.items():
+        if not agg[nt]:
+            out_dict[nt] = x
+            continue
+        if group == "sum":
+            m = np.sum(agg[nt], axis=0)
+        g = torch.nn.functional.gelu(torch.from_numpy(m)).numpy()
+        o = g @ params[f"out__{nt}"]["kernel"] + params[f"out__{nt}"]["bias"]
+        if o.shape[-1] == x.shape[-1]:
+            gate = 1 / (1 + np.exp(-params[f"skip__{nt}"]))
+            o = gate * o + (1 - gate) * x
+        out_dict[nt] = o
+    return out_dict
+
+
+def small_kg(rng, f_in=24):
+    node_feats = {
+        "drug": rng.randn(10, f_in).astype(np.float32),
+        "protein": rng.randn(14, f_in).astype(np.float32),
+    }
+    edges = {
+        ("drug", "interacts", "protein"): np.stack(
+            [rng.randint(0, 10, 30), rng.randint(0, 14, 30)]
+        ),
+        ("protein", "rev_interacts", "drug"): np.stack(
+            [rng.randint(0, 14, 30), rng.randint(0, 10, 30)]
+        ),
+        ("protein", "ppi", "protein"): np.stack(
+            [rng.randint(0, 14, 40), rng.randint(0, 14, 40)]
+        ),
+    }
+    return node_feats, edges
+
+
+def test_hgt_parity(rng):
+    node_feats, edges = small_kg(rng)
+    batch = build_kg_batch(node_feats, edges, drug_ids=np.arange(10))
+
+    cfg = HGTConfig(hidden_dim=16, num_layers=2, att_heads=4, group="sum")
+    model = HGTEncoder(cfg=cfg, embed_dim=8, drug_only_head=True)
+    variables = model.init(
+        __import__("jax").random.PRNGKey(0), batch, train=False
+    )
+    out = model.apply(variables, batch, train=False)
+
+    # numpy oracle with the same params
+    p = __import__("jax").tree_util.tree_map(np.asarray, variables["params"])
+    x = {k: np.asarray(v) for k, v in node_feats.items()}
+    x = torch_hgt_conv(x, edges, p["conv_0"], 4, 16)
+    # num_layers=2: no inter-conv relu (reference models.py:90-94)
+    x = torch_hgt_conv(x, edges, p["conv_1"], 4, 16)
+    ref = (
+        x["drug"] @ p["lin__drug"]["kernel"] + p["lin__drug"]["bias"]
+    )
+    np.testing.assert_allclose(np.asarray(out["drug"]), ref, atol=1e-4,
+                               rtol=1e-4)
+
+
+def test_hgt_edge_padding_invariance(rng):
+    node_feats, edges = small_kg(rng)
+    cfg = HGTConfig(hidden_dim=16, num_layers=2, att_heads=4)
+    model = HGTEncoder(cfg=cfg, embed_dim=8, drug_only_head=True)
+    b1 = build_kg_batch(node_feats, edges, drug_ids=np.arange(10),
+                        pad_multiple=64)
+    b2 = build_kg_batch(node_feats, edges, drug_ids=np.arange(10),
+                        pad_multiple=512)
+    variables = model.init(__import__("jax").random.PRNGKey(0), b1,
+                           train=False)
+    o1 = model.apply(variables, b1, train=False)["drug"]
+    o2 = model.apply(variables, b2, train=False)["drug"]
+    np.testing.assert_allclose(np.asarray(o1), np.asarray(o2), atol=1e-5)
+
+
+def test_remove_edges_and_lookup(rng):
+    node_feats, edges = small_kg(rng)
+    pruned = remove_edges_attached_to_drugs(edges, np.array([0, 1]), 10)
+    for et, ei in pruned.items():
+        src_t, _, dst_t = et
+        if src_t == "drug":
+            assert not np.isin(ei[0], [0, 1]).any()
+        if dst_t == "drug":
+            assert not np.isin(ei[1], [0, 1]).any()
+
+    lut = drug_row_lookup(np.array([3, 7, 9]), 12)
+    assert lut[3] == 0 and lut[7] == 1 and lut[9] == 2
+    assert lut[0] == -1
