@@ -1,0 +1,108 @@
+"""Headline benchmark: pair x outcome bilinear scoring throughput per chip.
+
+The reference's north-star serving workload (BASELINE.md): score the full
+drug x drug x outcome tensor (reference: madrigal/evaluate/predict.py:
+419-429 chunked `model.decoder(z, z, label_range)` on one GPU). Here the
+same symmetric-bilinear contraction runs as bf16 MXU matmuls with f32
+accumulation, label-chunked to bound memory.
+
+Baseline comparison: the identical computation in torch on CPU (the
+reference's decoder math, float32) -- BASELINE.json targets >= 10x
+PyTorch-CPU throughput per chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+"""
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+N_DRUGS = 6843  # reference all-drugs scale (data.py:708)
+FEAT = 128
+L_TOTAL = 960  # outcome count scale (DrugBank-like, hundreds of outcomes)
+L_CHUNK = 32
+L_MEASURE = 192  # outcomes actually timed on TPU (rate extrapolates)
+L_TORCH = 8  # outcomes timed on the torch-CPU baseline
+
+
+def tpu_rate() -> float:
+    import jax
+    import jax.numpy as jnp
+
+    from madrigal_tpu.models.decoder import symmetrize
+
+    rng = np.random.RandomState(0)
+    z = jnp.asarray(rng.randn(N_DRUGS, FEAT).astype(np.float32))
+    w = jnp.asarray(rng.randn(L_CHUNK, FEAT, FEAT).astype(np.float32))
+
+    @jax.jit
+    def score_chunk(z, w):
+        """Materializes the [L_CHUNK, N, N] bf16 score block in HBM -- the
+        real serving workload (chunked score export; predict.py:419-429).
+        A reduce-only variant lets XLA collapse the contraction through the
+        128x128 Gram matrix and reports fantasy numbers."""
+        w_sym = symmetrize(w)
+        zb = z.astype(jnp.bfloat16)
+
+        def body(_, w_l):
+            zw = jnp.dot(zb, w_l.astype(jnp.bfloat16),
+                         preferred_element_type=jnp.float32)
+            s = jnp.dot(zw.astype(jnp.bfloat16), zb.T,
+                        preferred_element_type=jnp.float32)
+            return None, s.astype(jnp.bfloat16)
+
+        _, out = jax.lax.scan(body, None, w_sym)
+        return out
+
+    # warmup / compile (including the completion-forcing read: the axon
+    # backend's block_until_ready can return before execution finishes, so
+    # timing must end with a device->host read)
+    out = score_chunk(z, w)
+    float(jnp.max(out[0, 0, :8]))
+    n_chunks = L_MEASURE // L_CHUNK
+    t0 = time.perf_counter()
+    for _ in range(n_chunks):
+        out = score_chunk(z, w)
+    float(jnp.max(out[0, 0, :8]))
+    dt = time.perf_counter() - t0
+    scores = n_chunks * L_CHUNK * N_DRUGS * N_DRUGS
+    return scores / dt
+
+
+def torch_cpu_rate() -> float:
+    import torch
+
+    torch.manual_seed(0)
+    z = torch.randn(N_DRUGS, FEAT)
+    w = torch.randn(L_TORCH, FEAT, FEAT)
+    w_sym = w.triu() + w.triu(1).transpose(-1, -2)
+
+    def run():
+        # reference BilinearDDIScorer.bilinear (models.py:537-539)
+        return torch.matmul(torch.matmul(z, w_sym), z.T)
+
+    run()  # warmup
+    t0 = time.perf_counter()
+    out = run()
+    s = float(out.sum())  # force materialization
+    dt = time.perf_counter() - t0
+    return L_TORCH * N_DRUGS * N_DRUGS / dt
+
+
+def main():
+    rate = tpu_rate()
+    base = torch_cpu_rate()
+    print(json.dumps({
+        "metric": "pair_outcome_scores_per_sec_per_chip",
+        "value": round(rate, 1),
+        "unit": "scores/s",
+        "vs_baseline": round(rate / base, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,89 @@
+"""Contrastive-pretraining evaluation metrics.
+
+Port of the reference CL eval utilities
+(reference: madrigal/evaluate/eval_utils.py:148-243): uniformity and
+alignment losses, stacked instance-discrimination top-k retrieval accuracy,
+FOSCTTM (fraction of samples closer than the true match), and a kNN
+classifier over embeddings.
+"""
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import numpy as np
+
+
+def _normalize(x):
+    return x / np.linalg.norm(x, axis=1, keepdims=True)
+
+
+def uniform_loss(x: np.ndarray, t: float = 2.0) -> float:
+    """log mean exp(-t * ||xi - xj||^2) over pairs (eval_utils.py:148-150)."""
+    x = _normalize(np.asarray(x))
+    d2 = np.sum((x[:, None, :] - x[None, :, :]) ** 2, axis=-1)
+    iu = np.triu_indices(len(x), k=1)
+    return float(np.log(np.mean(np.exp(-t * d2[iu]))))
+
+
+def alignment_loss(x1, x2, alpha: float = 2.0) -> float:
+    x1, x2 = _normalize(np.asarray(x1)), _normalize(np.asarray(x2))
+    return float(np.mean(np.linalg.norm(x1 - x2, axis=1) ** alpha))
+
+
+def retrieval_topk_accuracy(
+    emb_a: np.ndarray, emb_b: np.ndarray, topk: Sequence[int] = (1, 5, 20)
+) -> Tuple[float, ...]:
+    """Cross-modal retrieval: for each row of emb_a, rank rows of emb_b by
+    cosine similarity; correct = the same index (eval_utils.py:158-174)."""
+    a, b = _normalize(emb_a), _normalize(emb_b)
+    sim = a @ b.T
+    order = np.argsort(-sim, axis=1)
+    target = np.arange(len(a))[:, None]
+    res = []
+    for k in topk:
+        res.append(float(np.mean((order[:, :k] == target).any(axis=1))))
+    return tuple(res)
+
+
+def foscttm(R: np.ndarray, E: np.ndarray) -> Tuple[float, float]:
+    """Fraction of samples closer than the true match
+    (eval_utils.py:232-243): for each i, the fraction of rows of R closer
+    to E[i] than R[i] is. Returns (mean, std)."""
+    R, E = np.asarray(R), np.asarray(E)
+    out = np.empty(E.shape[0])
+    for i in range(E.shape[0]):
+        dist = np.linalg.norm(R - E[i], axis=-1)
+        out[i] = np.sum(dist < dist[i]) / dist.shape[0]
+    return float(out.mean()), float(out.std(ddof=1))
+
+
+def knn_classifier(
+    train_features, train_labels, test_features, test_labels,
+    metric: str = "cosine", k: int = 5, T: float = 1.0, num_classes: int = 2,
+) -> float:
+    """DINO-style weighted kNN top-1 accuracy (eval_utils.py:177-229)."""
+    train_features = np.asarray(train_features)
+    test_features = np.asarray(test_features)
+    train_labels = np.asarray(train_labels)
+    test_labels = np.asarray(test_labels)
+
+    if metric == "cosine":
+        sim = _normalize(test_features) @ _normalize(train_features).T
+        idx = np.argsort(-sim, axis=1)[:, :k]
+        d = np.take_along_axis(sim, idx, axis=1)
+    elif metric == "euclidean":
+        from scipy.spatial import distance_matrix
+
+        dm = distance_matrix(test_features, train_features)
+        idx = np.argsort(dm, axis=1)[:, :k]
+        d = np.take_along_axis(dm, idx, axis=1)
+    else:
+        raise ValueError(metric)
+
+    neighbors = train_labels[idx]  # [N_test, k]
+    onehot = np.zeros((len(test_labels), k, num_classes))
+    np.put_along_axis(onehot, neighbors[..., None], 1.0, axis=2)
+    w = np.exp(d / T)[..., None]
+    probs = np.sum(onehot * w, axis=1)
+    pred = np.argmax(probs, axis=1)
+    return float(np.mean(pred == test_labels))

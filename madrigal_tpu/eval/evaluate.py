@@ -1,0 +1,147 @@
+"""DDI evaluation engine.
+
+Port of the reference eval loop (reference: madrigal/evaluate/evaluate.py:
+39-247): per-split eval-type sweeps, direction handling (train: directed for
+symmetric eval types; val/test: undirected for asymmetric types; between:
+always directed), sigmoid triple scores + loss + metric suite, best-metric
+tracking keyed per (split, eval_type).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.collate import DDIBatch
+from ..data.kg import HeteroKGBatch
+from ..models.encoder import MadrigalMultilabel
+from .masks import MODEL_SELECTION_EVAL_TYPE, get_evaluate_masks
+from .metrics import AVERAGE, K, KEY_METRIC, get_metrics
+
+SPLIT_EVAL_TYPES = {
+    "train": [
+        "full_full", "str_str", "str_full", "kg_kg", "cv_cv", "tx_tx",
+        "str+kg_full", "str+cv_full", "str+tx_full", "str+cv+tx_full",
+        "str+tx_str+tx", "str+cv+tx_str+cv+tx",
+    ],
+    "val": ["full_full", "str_str", "str+tx_str+tx", "str+cv+tx_str+cv+tx"],
+    "test": ["full_full", "str_str", "str+tx_str+tx", "str+cv+tx_str+cv+tx"],
+    "between": [
+        "full_full", "str_str", "str_full", "kg_kg", "cv_cv", "tx_tx",
+        "str+cv_full", "str+tx_full", "str+cv+tx_full",
+    ],
+    "within": [
+        "full_full", "str_str", "kg_kg", "cv_cv", "tx_tx",
+        "str+cv_str+cv", "str+tx_str+tx", "str+cv+tx_str+cv+tx",
+    ],
+}
+
+SYMMETRIC_EVAL_TYPES = {"str_str", "full_full", "kg_kg", "cv_cv", "tx_tx"}
+
+
+def _direction_arrays(split: str, eval_type: str, batch: DDIBatch):
+    """Direction handling (reference evaluate.py:160-189). Returns
+    (head_idx, tail_idx, labels, pos_neg, weights) numpy arrays."""
+    hi = np.asarray(batch.head_idx)
+    ti = np.asarray(batch.tail_idx)
+    lb = np.asarray(batch.labels)
+    pn = np.asarray(batch.pos_neg)
+    m = np.asarray(batch.mask)
+    head_g = np.asarray(batch.head.drugs)[hi]
+    tail_g = np.asarray(batch.tail.drugs)[ti]
+
+    base = split.split("_")[-1]
+    if split == "train" and eval_type in SYMMETRIC_EVAL_TYPES:
+        keep = m & (head_g < tail_g)
+        return hi, ti, lb, pn, keep
+    if base in ("val", "test", "within") and "between" not in split and \
+            eval_type.split("_")[0] != eval_type.split("_")[1]:
+        # undirect: score both directions (requires head/tail stores to be
+        # the same drug set, as in the reference's val batches)
+        hi2 = np.concatenate([hi, ti])
+        ti2 = np.concatenate([ti, hi])
+        return hi2, ti2, np.tile(lb, 2), np.tile(pn, 2), np.tile(m, 2)
+    return hi, ti, lb, pn, m
+
+
+class Evaluator:
+    """evaluate_ft equivalent: sweeps eval types for a split, returns the
+    model-selection key metric (macro AUPRC of the mode's eval type)."""
+
+    def __init__(self, model: MadrigalMultilabel, finetune_mode: str,
+                 task: str = "multilabel", k: int = K, logger=None):
+        self.model = model
+        self.finetune_mode = finetune_mode
+        self.task = task
+        self.k = k
+        self.logger = logger
+        self.best_metrics: Dict[str, float] = {}
+        self._embed_fn = None
+
+    def _embed(self, variables, batch: DDIBatch, kg, masks_head, masks_tail):
+        head = dataclasses.replace(batch.head, masks=jnp.asarray(masks_head))
+        tail = dataclasses.replace(batch.tail, masks=jnp.asarray(masks_tail))
+        z_head, z_tail = self.model.apply(
+            variables, head, tail, kg, train=False,
+            method=MadrigalMultilabel.embed_pair,
+        )
+        return z_head, z_tail
+
+    def evaluate_ddi(self, variables, batch: DDIBatch, kg, eval_type: str,
+                     split: str) -> Tuple[float, Dict[str, float]]:
+        masks_head, masks_tail = get_evaluate_masks(
+            np.asarray(batch.head.masks), np.asarray(batch.tail.masks),
+            eval_type, self.finetune_mode,
+        )
+        z_head, z_tail = self._embed(variables, batch, kg, masks_head,
+                                     masks_tail)
+        hi, ti, lb, pn, w = _direction_arrays(split, eval_type, batch)
+        logits = self.model.apply(
+            variables,
+            z_head[jnp.asarray(hi)], z_tail[jnp.asarray(ti)],
+            jnp.asarray(lb),
+            method=lambda m, zh, zt, l: m.decoder.triples(zh, zt, l),
+        )
+        preds = np.asarray(jax.nn.sigmoid(logits))
+        keep = w.astype(bool)
+        metrics, _ = get_metrics(
+            preds[keep], pn[keep], lb[keep], k=self.k, task=self.task,
+            average=AVERAGE, logger=self.logger,
+        )
+        key = float(metrics[KEY_METRIC])
+        bk = f"best_{split}_{eval_type}_{KEY_METRIC}"
+        if bk not in self.best_metrics or key > self.best_metrics[bk]:
+            for name, v in metrics.items():
+                self.best_metrics[f"best_{split}_{eval_type}_{name}"] = (
+                    float(np.asarray(v)) if np.ndim(v) == 0 else v
+                )
+        return key, metrics
+
+    def evaluate_ft(self, variables, batch: DDIBatch, kg, split: str,
+                    eval_types=None) -> float:
+        base = split.split("_")[-1]
+        if "between" in split:
+            sel = MODEL_SELECTION_EVAL_TYPE["between"].get(
+                self.finetune_mode, "full_full")
+        elif "within" in split:
+            sel = MODEL_SELECTION_EVAL_TYPE["within"].get(
+                self.finetune_mode, "full_full")
+        else:
+            sel = MODEL_SELECTION_EVAL_TYPE["plain"].get(
+                self.finetune_mode, "full_full")
+        key_metric = float("nan")
+        for et in (eval_types or SPLIT_EVAL_TYPES[base]):
+            k, metrics = self.evaluate_ddi(variables, batch, kg, et, split)
+            if self.logger:
+                self.logger.info(
+                    f"{split} {et}: " + ", ".join(
+                        f"{n}={float(np.mean(v)):.4f}"
+                        for n, v in metrics.items()
+                    )
+                )
+            if et == sel:
+                key_metric = k
+        return key_metric

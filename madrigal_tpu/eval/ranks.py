@@ -1,0 +1,121 @@
+"""All-pairs normalized-rank computation, on device.
+
+TPU-native replacement for the reference's offline 80 GB memmap pipeline
+(reference: notebooks/normalize_scores.py:36-90): per outcome, the NxN score
+matrix's strict lower triangle is ranked (double-argsort semantics -> rank
+via one key+payload sort and a scatter), normalized by N(N-1)/2, zeroed on
+the upper triangle + diagonal, and symmetrized by adding the transpose.
+
+Equivalence note: numpy's double argsort assigns arbitrary tie order
+(unstable quicksort); `lax.sort` is stable, so ties get deterministic
+ascending-position ranks. For distinct float scores the outputs are
+identical.
+
+The multi-chip strategy (parallel/allpairs.py) shards the OUTCOME axis:
+each outcome's rank job is independent, so the fleet is communication-free
+after a single replicated-Z broadcast -- no cross-chip sort merge needed
+(SURVEY.md section 2.2 north star).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def lower_tri_mask(n: int) -> jnp.ndarray:
+    """Strict lower-triangle mask [n, n] (True below the diagonal)."""
+    rows = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    return rows > cols
+
+
+def normalized_rank_matrix(scores: jnp.ndarray) -> jnp.ndarray:
+    """Rank-normalize one outcome's [N, N] score matrix.
+
+    Returns the symmetrized normalized-rank matrix: entry (i, j), i != j,
+    holds rank(score[max(i,j), min(i,j)]) / (N(N-1)/2); diagonal is 0.
+    """
+    n = scores.shape[0]
+    m = n * (n - 1) // 2
+    tril = lower_tri_mask(n)
+    flat_vals = jnp.where(tril, scores, jnp.inf).reshape(-1)
+    flat_idx = jnp.arange(n * n, dtype=jnp.int32)
+    sorted_vals, sorted_idx = jax.lax.sort(
+        (flat_vals, flat_idx), num_keys=1
+    )
+    ranks = jnp.zeros((n * n,), jnp.float32).at[sorted_idx].set(
+        jnp.arange(1, n * n + 1, dtype=jnp.float32)
+    )
+    out = jnp.where(tril, ranks.reshape(n, n) / m, 0.0)
+    return out + out.T
+
+
+def score_outcome(z: jnp.ndarray, w_sym_l: jnp.ndarray,
+                  dtype=jnp.float32) -> jnp.ndarray:
+    """[N, N] bilinear scores for one outcome: z @ W_l @ z.T.
+
+    Two MXU matmuls; compute dtype selectable (bf16 inputs keep the MXU at
+    full rate; accumulation stays f32 via preferred_element_type).
+    """
+    zc = z.astype(dtype)
+    zw = jnp.dot(zc, w_sym_l.astype(dtype),
+                 preferred_element_type=jnp.float32)
+    return jnp.dot(zw.astype(dtype), zc.T,
+                   preferred_element_type=jnp.float32)
+
+
+@partial(jax.jit, static_argnames=("compute_dtype",))
+def normalized_ranks_for_outcomes(
+    z: jnp.ndarray, w_sym: jnp.ndarray, compute_dtype=jnp.float32
+) -> jnp.ndarray:
+    """[Lc, N, N] normalized ranks for a chunk of outcomes (scan over the
+    chunk to bound peak memory at one [N, N] score matrix + rank buffers)."""
+
+    def body(_, w_l):
+        s = score_outcome(z, w_l, compute_dtype)
+        return None, normalized_rank_matrix(s)
+
+    _, out = jax.lax.scan(body, None, w_sym)
+    return out
+
+
+def rank_tensor(
+    z: np.ndarray,
+    w_sym: np.ndarray,
+    chunk: int = 8,
+    compute_dtype=jnp.float32,
+    out: Optional[np.ndarray] = None,
+) -> np.ndarray:
+    """Full [L, N, N] normalized-rank tensor, streamed to host per chunk
+    (the memmap-compatible single-host driver; pass a np.memmap as `out`
+    for reference-format artifact export)."""
+    L, n = w_sym.shape[0], z.shape[0]
+    if out is None:
+        out = np.empty((L, n, n), dtype=np.float32)
+    zd = jnp.asarray(z)
+    for s in range(0, L, chunk):
+        e = min(s + chunk, L)
+        block = normalized_ranks_for_outcomes(
+            zd, jnp.asarray(w_sym[s:e]), compute_dtype
+        )
+        out[s:e] = np.asarray(block)
+    return out
+
+
+def ensemble_normalized_ranks(rank_tensors) -> np.ndarray:
+    """Multi-seed ensembling (reference generate_embeddings.ipynb cells
+    18-20): geometric mean of normalized ranks across seeds, then re-rank."""
+    from scipy.stats import gmean
+
+    stacked = np.stack([np.asarray(r) for r in rank_tensors])
+    g = gmean(stacked, axis=0)
+    L, n, _ = g.shape
+    out = np.empty_like(g)
+    for l in range(L):
+        # normalized_rank_matrix only reads the strict lower triangle
+        out[l] = np.asarray(normalized_rank_matrix(jnp.asarray(g[l])))
+    return out

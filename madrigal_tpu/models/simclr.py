@@ -1,0 +1,77 @@
+"""SimCLR contrastive model for cross-modality alignment.
+
+TPU-native equivalent of the reference's SimCLR_NovelDDI
+(reference: madrigal/models/simclr.py:11-141): the shared MadrigalEncoder
+encodes the same drugs under two modality-subset masks; one or two
+2-layer predictor MLPs (BN, bias-free, affine-free final BN) project the
+views; InfoNCE with diagonal masking and optional too-hard-negative
+masking scores the 2Bx2B similarity matrix.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from ..config import EncoderConfig
+from ..train.losses import info_nce
+from .encoder import MadrigalEncoder, _encoder_warmup
+from .mlp import SimCLRPredictor
+
+
+class SimCLRModel(nn.Module):
+    enc_cfg: EncoderConfig
+    mlp_dim: int = 512
+    temperature: float = 0.1
+    shared_predictor: bool = False
+    raw_encoder_output: bool = False
+
+    def setup(self):
+        self.base_encoder = MadrigalEncoder(cfg=self.enc_cfg,
+                                            name="base_encoder")
+        dim = self.enc_cfg.feature_dim
+        if self.shared_predictor:
+            self.predictor = SimCLRPredictor(
+                mlp_dim=self.mlp_dim, output_dim=dim, name="predictor"
+            )
+        else:
+            self.predictor_1 = SimCLRPredictor(
+                mlp_dim=self.mlp_dim, output_dim=dim, name="predictor_1"
+            )
+            self.predictor_2 = SimCLRPredictor(
+                mlp_dim=self.mlp_dim, output_dim=dim, name="predictor_2"
+            )
+
+    def __call__(self, batch, kg, mask1, mask2, too_hard_neg_mask=None, *,
+                 train: bool = False):
+        """Returns (aug1, aug2, (logits, labels, loss))
+        (reference simclr.py:110-140)."""
+        import dataclasses
+
+        table = self.base_encoder.kg_drug_table(kg, train=train)
+        b1 = dataclasses.replace(batch, masks=mask1)
+        b2 = dataclasses.replace(batch, masks=mask2)
+        z1 = self.base_encoder.encode(
+            b1, kg_drug_table=table, train=train,
+            raw_encoder_output=self.raw_encoder_output,
+        )
+        z2 = self.base_encoder.encode(
+            b2, kg_drug_table=table, train=train,
+            raw_encoder_output=self.raw_encoder_output,
+        )
+        if self.shared_predictor:
+            aug1 = self.predictor(z1, train=train)
+            aug2 = self.predictor(z2, train=train)
+        else:
+            aug1 = self.predictor_1(z1, train=train)
+            aug2 = self.predictor_2(z2, train=train)
+        logits, labels, loss = info_nce(
+            aug1, aug2, self.temperature, too_hard_neg_mask
+        )
+        return aug1, aug2, (logits, labels, loss)
+
+    def warmup(self, batch, kg, mask1, mask2):
+        _, _, (_, _, loss) = self(batch, kg, mask1, mask2, train=False)
+        # also touch the raw path + uni projector for full init
+        return loss + _encoder_warmup(self.base_encoder, batch, kg).sum()

@@ -1,0 +1,103 @@
+"""Checkpointing with embedded configs.
+
+Mirrors the reference's checkpoint formats (reference: pretrain.py:230-236
+{epoch, state_dict, optimizer, encoder_configs}; train_ddi_batch.py:393-412
+{epoch, state_dict, encoder_configs, model_configs}) using orbax: models are
+reconstructable purely from the embedded config dicts (predict.py:20-23).
+
+Also implements the CL->finetune transfer filter
+(reference: madrigal/utils.py:246-307): keep encoder weights, drop
+fusion / pos-encoder / CLS / bottlenecks (and optionally the uni projector).
+"""
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+from .. import config as config_lib
+
+
+def save_checkpoint(
+    path: str,
+    params: dict,
+    batch_stats: dict,
+    cfg: Any,
+    epoch: int,
+    opt_state: Any = None,
+    extra: Optional[dict] = None,
+):
+    path = os.path.abspath(path)
+    ckptr = ocp.PyTreeCheckpointer()
+    tree = {
+        "params": params,
+        "batch_stats": batch_stats,
+    }
+    if opt_state is not None:
+        tree["opt_state"] = opt_state
+    ckptr.save(path, tree, force=True)
+    meta = {
+        "epoch": int(epoch),
+        "config_class": type(cfg).__name__,
+        "config": config_lib.to_dict(cfg),
+        "extra": extra or {},
+    }
+    with open(os.path.join(path, "madrigal_meta.json"), "w") as f:
+        json.dump(meta, f, indent=2, default=str)
+
+
+def load_checkpoint(path: str):
+    """Returns (tree, meta) with cfg rebuilt from the embedded config."""
+    path = os.path.abspath(path)
+    ckptr = ocp.PyTreeCheckpointer()
+    tree = ckptr.restore(path)
+    with open(os.path.join(path, "madrigal_meta.json")) as f:
+        meta = json.load(f)
+    cls = getattr(config_lib, meta["config_class"])
+    meta["cfg"] = config_lib.from_dict(cls, meta["config"])
+    return tree, meta
+
+
+# ---------------------------------------------------------------------------
+# CL -> finetune transfer (utils.py:246-307)
+# ---------------------------------------------------------------------------
+
+CL_TRANSFER_DROP_TOP = ("transformer", "pos_encoder", "cls",
+                        "tx_bottleneck_tokens")
+
+
+def filter_cl_params_for_finetune(
+    encoder_params: dict, use_pretrained_adaptor: bool = False
+) -> dict:
+    """Keep modality-encoder weights; drop fusion-related modules so the
+    finetune stage re-initializes them (reference utils.py:281-296)."""
+    out = {}
+    for k, v in encoder_params.items():
+        if k in CL_TRANSFER_DROP_TOP:
+            continue
+        if k == "uni_projector" and not use_pretrained_adaptor:
+            continue
+        out[k] = v
+    return out
+
+
+def merge_params(init_params: dict, loaded: dict) -> dict:
+    """Overlay loaded subtrees onto freshly-initialized params (strict on
+    shape mismatches; missing keys keep their fresh init)."""
+    def merge(a, b):
+        if isinstance(a, dict) and isinstance(b, dict):
+            out = dict(a)
+            for k, v in b.items():
+                out[k] = merge(a[k], v) if k in a else v
+            return out
+        bv = np.asarray(b)
+        av = np.asarray(a)
+        if av.shape != bv.shape:
+            raise ValueError(f"shape mismatch: {av.shape} vs {bv.shape}")
+        return b
+
+    return merge(init_params, loaded)

@@ -1,0 +1,159 @@
+"""Contrastive (SimCLR) pretraining loop -- stage 2.
+
+TPU-native re-design of the reference's pretrain entry
+(reference: pretrain.py:41-292): drugs with >=2 modalities, per-epoch
+modality-subset mask sampling from precomputed banks, shared-encoder
+two-view forward, InfoNCE loss, per-epoch half-cycle-cosine LR with the
+batch-size/512 scaling rule (pretrain.py:173), AdamW/LARS.
+
+The reference iterates minibatches via a DataLoader; here each jitted step
+consumes a fixed-size drug batch (static shapes), with host-side mask
+sampling per step.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..config import PretrainConfig
+from ..data.collate import DDICollator
+from ..data.kg import HeteroKGBatch
+from ..models.simclr import SimCLRModel
+from .optim import half_cycle_cosine_schedule, lars
+from .pretrain_masks import get_pretrain_masks, sample_pretrain_masks
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class CLTrainState:
+    params: dict
+    batch_stats: dict
+    opt_state: object
+    step: jnp.ndarray
+
+
+class CLPretrainer:
+    def __init__(
+        self,
+        cfg: PretrainConfig,
+        collator: DDICollator,
+        kg: HeteroKGBatch,
+        drug_ids: Optional[np.ndarray] = None,
+        rng: Optional[jax.Array] = None,
+    ):
+        self.cfg = cfg
+        self.collator = collator
+        self.kg = kg
+        ds = collator.ds
+        masks = np.asarray(ds.masks)
+        if drug_ids is None:
+            # drugs with >= 2 modalities (reference data.py:280-284)
+            drug_ids = np.where((1 - masks).sum(axis=1) >= 2)[0]
+        self.drug_ids = np.asarray(drug_ids)
+        self.width = masks.shape[1]
+
+        self.mask_banks = get_pretrain_masks(
+            self.drug_ids, masks[self.drug_ids], cfg.pretrain_mode,
+            cfg.pretrain_unbalanced, cfg.pretrain_tx_downsample_ratio,
+        )
+
+        self.model = SimCLRModel(
+            enc_cfg=cfg.encoder,
+            mlp_dim=cfg.moco_mlp_dim,
+            temperature=cfg.moco_t,
+            shared_predictor=cfg.shared_predictor,
+            raw_encoder_output=cfg.raw_encoder_output,
+        )
+
+        self.np_rng = np.random.RandomState(cfg.seed)
+        rng = jax.random.PRNGKey(cfg.seed) if rng is None else rng
+        self.rng, init_rng = jax.random.split(rng)
+
+        bsz = min(cfg.pretrain_batch_size, len(self.drug_ids))
+        self.batch_size = bsz
+        batch = collator.drug_batch(self.drug_ids[:bsz])
+        m1, m2 = self._sample_masks(self.drug_ids[:bsz])
+        variables = self.model.init(
+            init_rng, batch, kg, jnp.asarray(m1), jnp.asarray(m2),
+            method=SimCLRModel.warmup,
+        )
+
+        # lr scaled by batch_size / 512 (pretrain.py:173)
+        lr = cfg.pretrain_lr * bsz / 512.0
+        sched = half_cycle_cosine_schedule(
+            lr, cfg.warmup_epochs, cfg.pretrain_num_epochs
+        )
+        if cfg.pretrain_optimizer == "adamw":
+            self.tx = optax.adamw(
+                sched, b1=cfg.pretrain_beta1, b2=cfg.pretrain_beta2,
+                eps=cfg.pretrain_eps, weight_decay=cfg.pretrain_wd,
+            )
+        elif cfg.pretrain_optimizer == "lars":
+            self.tx = lars(sched, weight_decay=cfg.pretrain_wd,
+                           momentum=cfg.pretrain_momentum)
+        else:
+            raise NotImplementedError(cfg.pretrain_optimizer)
+
+        self.state = CLTrainState(
+            params=variables["params"],
+            batch_stats=variables.get("batch_stats", {}),
+            opt_state=self.tx.init(variables["params"]),
+            step=jnp.zeros([], jnp.int32),
+        )
+        self._step = jax.jit(self._make_step(), donate_argnums=(0,))
+
+    def _sample_masks(self, drugs):
+        return sample_pretrain_masks(
+            self.mask_banks, drugs, self.cfg.pretrain_mode,
+            self.cfg.pretrain_unbalanced, self.np_rng, self.width,
+        )
+
+    def _make_step(self):
+        def step(state: CLTrainState, batch, m1, m2, rng):
+            def loss_fn(params):
+                (_, _, (_, _, loss)), updates = self.model.apply(
+                    {"params": params, "batch_stats": state.batch_stats},
+                    batch, self.kg, m1, m2, train=True,
+                    mutable=["batch_stats"], rngs={"dropout": rng},
+                )
+                return loss, updates["batch_stats"]
+
+            (loss, new_bs), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(state.params)
+            updates, new_opt = self.tx.update(
+                grads, state.opt_state, state.params
+            )
+            new_params = optax.apply_updates(state.params, updates)
+            return CLTrainState(
+                params=new_params, batch_stats=new_bs, opt_state=new_opt,
+                step=state.step + 1,
+            ), loss
+
+        return step
+
+    def train_step(self) -> float:
+        """One step over a random drug batch (epoch for small datasets)."""
+        ids = (
+            self.np_rng.choice(self.drug_ids, self.batch_size, replace=False)
+            if len(self.drug_ids) > self.batch_size else self.drug_ids
+        )
+        batch = self.collator.drug_batch(ids)
+        m1, m2 = self._sample_masks(ids)
+        self.rng, key = jax.random.split(self.rng)
+        self.state, loss = self._step(
+            self.state, batch, jnp.asarray(m1), jnp.asarray(m2), key
+        )
+        return float(loss)
+
+    def encoder_variables(self) -> dict:
+        """base_encoder subtree for CL->finetune transfer."""
+        return {
+            "params": self.state.params["base_encoder"],
+            "batch_stats": self.state.batch_stats.get("base_encoder", {}),
+        }

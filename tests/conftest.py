@@ -18,8 +18,21 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax  # noqa: E402
 
+# The environment's sitecustomize (PYTHONPATH=/root/.axon_site) forces
+# jax_platforms='axon,cpu' regardless of JAX_PLATFORMS -- override it
+# post-import so tests run on the virtual-device CPU backend.
+jax.config.update("jax_platforms", "cpu")
+
 # float32 matmuls at full precision for parity against torch CPU
 jax.config.update("jax_default_matmul_precision", "highest")
+
+# persistent compilation cache: test-suite wall-clock is compile-dominated
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 ".jax_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -1,0 +1,174 @@
+"""Training-stack tests: finetune trainer over synthetic data (loss goes
+down, three-way masking modes run), optimizer grouping, evaluator sweep."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from madrigal_tpu.config import (
+    ChemCPAConfig,
+    EncoderConfig,
+    FusionConfig,
+    GINConfig,
+    HGTConfig,
+    MLPEncoderConfig,
+    ModelConfig,
+    OptimizerConfig,
+    ProjectorConfig,
+    TrainConfig,
+)
+from madrigal_tpu.data.collate import DDICollator
+from madrigal_tpu.data.synthetic import make_dataset
+from madrigal_tpu.train.finetune import FinetuneTrainer
+from madrigal_tpu.train.optim import param_labels, warmup_cosine_schedule
+
+
+def tiny_cfg(finetune_mode="str_random_sample", num_labels=6):
+    enc = EncoderConfig(
+        feature_dim=16,
+        gin=GINConfig(hidden_dims=(16, 16), num_mlp_layer=2),
+        hgt=HGTConfig(hidden_dim=8, num_layers=2, att_heads=2),
+        cv=MLPEncoderConfig(hidden_dims=(32, 16)),
+        chemcpa=ChemCPAConfig(dim=16, autoencoder_width=32,
+                              autoencoder_depth=1),
+        transformer=FusionConfig(num_layers=1, att_heads=2, head_dim=8,
+                                 ffn_dim=32, dropout=0.1, norm_first=True,
+                                 agg="x-attn", num_tx_bottlenecks=2),
+        proj=ProjectorConfig(hidden_dims=(32, 32)),
+        pos_emb_type="sinusoidal",
+    )
+    return TrainConfig(
+        model=ModelConfig(encoder=enc, prediction_dim=num_labels),
+        optim=OptimizerConfig(
+            structure_encoder_lr=3e-3, kg_encoder_lr=3e-3,
+            perturb_encoders_lr=3e-3, fusion_lr=3e-3, decoder_lr=3e-3,
+        ),
+        finetune_mode=finetune_mode,
+        num_epochs=30,
+        warmup_epochs=3,
+        seed=0,
+    )
+
+
+@pytest.fixture(scope="module")
+def data():
+    ds = make_dataset(num_drugs=16, num_labels=6, num_edges=30, seed=2)
+    batch, kg = DDICollator(ds, split="train")()
+    return ds, batch, kg
+
+
+@pytest.fixture(scope="module")
+def trainer(data):
+    ds, batch, kg = data
+    return FinetuneTrainer(tiny_cfg(), batch, kg)
+
+
+def test_finetune_loss_decreases(trainer):
+    losses = [trainer.train_epoch()["total"] for _ in range(30)]
+    assert np.isfinite(losses).all()
+    assert np.mean(losses[-5:]) < np.mean(losses[:5]) * 0.9, losses
+
+
+def test_masking_modes(data):
+    """Masking engine semantics across finetune modes (host-side, no jit)."""
+    from madrigal_tpu.train.masking import FinetuneMasker
+
+    ds, batch, kg = data
+    base = np.asarray(batch.head.masks)
+    non_tx = ["str", "kg", "cv"]
+
+    m = FinetuneMasker("full_full", base, non_tx)
+    h, t = m.sample_epoch()
+    np.testing.assert_array_equal(h, base)
+    assert m.edges_directed_only() and not m.uses_three_way_loss
+
+    m = FinetuneMasker("str_random_sample", base, non_tx, seed=1)
+    h, t = m.sample_epoch()
+    # head masks = str-only; tail masks are subsets of availability
+    assert (~h[:, 0]).all() and h[:, 1:].all()
+    assert ((t | ~base) | True).all()
+    assert (t >= base).all()  # never unmask an unavailable modality
+    assert m.uses_three_way_loss
+
+    m = FinetuneMasker("double_random", base, non_tx, seed=2)
+    h, t = m.sample_epoch()
+    assert (h >= base).all() and (t >= base).all()
+    assert (~h).any(axis=1).all()  # every drug keeps >=1 modality
+
+    m = FinetuneMasker("ablation_str_str", base, non_tx)
+    h, _ = m.sample_epoch()
+    assert (~h[:, 0]).all() and h[:, 1:].all()
+
+    m = FinetuneMasker("ablation_tx_tx_padded", base, non_tx)
+    h, _ = m.sample_epoch()
+    assert h[:, :3].all() and (~h[:, 3:]).all()
+
+
+def test_param_grouping(trainer):
+    labels = param_labels(trainer.state.params)
+    flat = jax.tree_util.tree_leaves_with_path(labels)
+    seen = {l for _, l in flat}
+    assert "decoder" in seen and "str" in seen and "kg" in seen
+    assert "perturb" in seen and "fusion" in seen
+    # decoder weight labeled decoder; gin params labeled str
+    for path, lab in flat:
+        keys = [k.key for k in path]
+        if keys[0] == "decoder":
+            assert lab == "decoder"
+        if "str_encoder" in keys:
+            assert lab.startswith("str")
+        if "kg_encoder" in keys:
+            assert lab.startswith("kg")
+
+
+def test_warmup_cosine_schedule():
+    s = warmup_cosine_schedule(1.0, 10, 100)
+    assert float(s(0)) == 0.0
+    assert abs(float(s(10)) - 1.0) < 1e-6
+    assert float(s(5)) == pytest.approx(0.5)
+    assert float(s(100)) == pytest.approx(0.0, abs=1e-6)
+
+
+def test_evaluator_sweep(data, trainer):
+    from madrigal_tpu.eval.evaluate import Evaluator
+
+    ds, batch, kg = data
+    ev = Evaluator(trainer.model, "str_random_sample")
+    variables = {"params": trainer.state.params,
+                 "batch_stats": trainer.state.batch_stats}
+    key = ev.evaluate_ft(variables, batch, kg, "train",
+                         eval_types=["full_full", "str_str", "str_full"])
+    assert np.isfinite(key)
+    assert any(k.startswith("best_train_full_full") for k in ev.best_metrics)
+
+
+def test_checkpoint_roundtrip(tmp_path, data, trainer):
+    from madrigal_tpu.train.checkpoint import (
+        filter_cl_params_for_finetune,
+        load_checkpoint,
+        merge_params,
+        save_checkpoint,
+    )
+
+    ds, batch, kg = data
+    cfg = tiny_cfg()
+    p = str(tmp_path / "ckpt")
+    save_checkpoint(p, trainer.state.params, trainer.state.batch_stats,
+                    cfg, epoch=5)
+    tree, meta = load_checkpoint(p)
+    assert meta["epoch"] == 5
+    assert meta["cfg"].finetune_mode == cfg.finetune_mode
+    w0 = np.asarray(
+        jax.tree_util.tree_leaves(trainer.state.params)[0]
+    )
+    w1 = np.asarray(jax.tree_util.tree_leaves(tree["params"])[0])
+    np.testing.assert_array_equal(w0, w1)
+
+    # CL transfer filter drops fusion modules, keeps encoders
+    enc_params = tree["params"]["encoder"]
+    kept = filter_cl_params_for_finetune(enc_params)
+    assert "transformer" not in kept and "pos_encoder" not in kept
+    assert "str_encoder" in kept and "kg_encoder" in kept
+    merged = merge_params(trainer.state.params["encoder"], kept)
+    assert "transformer" in merged
