@@ -339,6 +339,15 @@ def to_dict(cfg: Any) -> Any:
     return cfg
 
 
+def _resolve_field_type(f: dataclasses.Field):
+    """Field types are strings under `from __future__ import annotations`;
+    resolve dataclass names against this module."""
+    t = f.type
+    if isinstance(t, str):
+        t = globals().get(t, t)
+    return t
+
+
 def from_dict(cls: type, data: dict) -> Any:
     """Rebuild a (possibly nested) dataclass config from a plain dict."""
     kwargs = {}
@@ -346,8 +355,9 @@ def from_dict(cls: type, data: dict) -> Any:
         if f.name not in data:
             continue
         v = data[f.name]
-        if dataclasses.is_dataclass(f.type) and isinstance(v, dict):
-            kwargs[f.name] = from_dict(f.type, v)
+        ftype = _resolve_field_type(f)
+        if dataclasses.is_dataclass(ftype) and isinstance(v, dict):
+            kwargs[f.name] = from_dict(ftype, v)
         elif isinstance(v, list):
             kwargs[f.name] = tuple(v)
         else:

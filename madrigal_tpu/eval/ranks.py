@@ -33,24 +33,40 @@ def lower_tri_mask(n: int) -> jnp.ndarray:
     return rows > cols
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=8)
+def _tril_flat_indices(n: int):
+    """Static flat indices of the strict lower triangle (host-computed,
+    cached; becomes an XLA constant)."""
+    rows, cols = np.tril_indices(n, k=-1)
+    # numpy (not jnp): jnp arrays created inside a trace would leak tracers
+    # through the cache; numpy constants embed safely in any trace
+    return (rows * n + cols).astype(np.int32)
+
+
 def normalized_rank_matrix(scores: jnp.ndarray) -> jnp.ndarray:
     """Rank-normalize one outcome's [N, N] score matrix.
 
     Returns the symmetrized normalized-rank matrix: entry (i, j), i != j,
     holds rank(score[max(i,j), min(i,j)]) / (N(N-1)/2); diagonal is 0.
+
+    The strict lower triangle is compacted before sorting (M = N(N-1)/2
+    keys instead of N^2), halving the dominant sort cost.
     """
     n = scores.shape[0]
     m = n * (n - 1) // 2
-    tril = lower_tri_mask(n)
-    flat_vals = jnp.where(tril, scores, jnp.inf).reshape(-1)
-    flat_idx = jnp.arange(n * n, dtype=jnp.int32)
-    sorted_vals, sorted_idx = jax.lax.sort(
-        (flat_vals, flat_idx), num_keys=1
+    tril_idx = _tril_flat_indices(n)
+    vals = scores.reshape(-1)[tril_idx]  # [M]
+    pos = jnp.arange(m, dtype=jnp.int32)
+    _, sorted_pos = jax.lax.sort((vals, pos), num_keys=1)
+    # rank of compacted element p = its position in sort order (1-based)
+    ranks_m = jnp.zeros((m,), jnp.float32).at[sorted_pos].set(
+        jnp.arange(1, m + 1, dtype=jnp.float32)
     )
-    ranks = jnp.zeros((n * n,), jnp.float32).at[sorted_idx].set(
-        jnp.arange(1, n * n + 1, dtype=jnp.float32)
-    )
-    out = jnp.where(tril, ranks.reshape(n, n) / m, 0.0)
+    flat = jnp.zeros((n * n,), jnp.float32).at[tril_idx].set(ranks_m / m)
+    out = flat.reshape(n, n)
     return out + out.T
 
 

@@ -1,0 +1,474 @@
+"""Stage-1 per-modality pretraining.
+
+TPU-native equivalents of the reference's modality_pretraining/ scripts
+(reference: modality_pretraining/str/structure_pretraining_muv.py GIN
+property prediction; kg/kg_pretraining.py HGT link prediction with a shared
+bilinear decoder over all edge types; cv/cv_pretraining.py MLP autoencoder
+with MSE; tx/sweep.py chemCPA adaptation -- the chemCPA update() dynamics,
+including the alternating adversary step with gradient penalty, live here
+as `ChemCPAAdaptTrainer` mirroring chemCPA/model.py:729-829).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..config import ChemCPAConfig, GINConfig, HGTConfig, MLPEncoderConfig
+from ..data.kg import HeteroKGBatch
+from ..data.molgraph import MolGraphBatch
+from ..models.chemcpa import ChemCPAEncoder, gaussian_nll_loss
+from ..models.decoder import BilinearDDIScorer
+from ..models.gin import GINEncoder
+from ..models.hgt import HGTEncoder
+from ..models.mlp import MLPEncoder
+
+
+# ---------------------------------------------------------------------------
+# Structure: GIN multi-task property prediction (MUV-style)
+# ---------------------------------------------------------------------------
+
+class GINPropertyModel(nn.Module):
+    """GIN encoder + linear multi-task head (torchdrug PropertyPrediction
+    semantics: mean-readout graph feature -> per-task logit)."""
+
+    gin: GINConfig
+    feature_dim: int
+    num_tasks: int
+
+    @nn.compact
+    def __call__(self, batch: MolGraphBatch, *, train: bool = False):
+        feat, _ = GINEncoder(
+            hidden_dims=tuple(self.gin.hidden_dims) + (self.feature_dim,),
+            num_mlp_layer=self.gin.num_mlp_layer,
+            eps_init=self.gin.eps,
+            learn_eps=self.gin.learn_eps,
+            batch_norm=self.gin.batch_norm,
+            actn=self.gin.actn,
+            readout=self.gin.readout,
+            name="encoder",
+        )(batch, train=train)
+        return nn.Dense(self.num_tasks, name="head")(feat)
+
+
+class GINPretrainer:
+    """BCE multi-task trainer with task masks (MUV has sparse labels)."""
+
+    def __init__(self, gin_cfg: GINConfig, feature_dim: int, num_tasks: int,
+                 lr: float = 1e-3, seed: int = 0):
+        self.model = GINPropertyModel(gin=gin_cfg, feature_dim=feature_dim,
+                                      num_tasks=num_tasks)
+        self.tx = optax.adam(lr)
+        self._vars = None
+        self._opt = None
+        self.rng = jax.random.PRNGKey(seed)
+        self._step = jax.jit(self._make_step())
+
+    def _make_step(self):
+        def step(variables, opt_state, batch, labels, label_mask, rng):
+            def loss_fn(params):
+                out, upd = self.model.apply(
+                    {"params": params,
+                     "batch_stats": variables["batch_stats"]},
+                    batch, train=True, mutable=["batch_stats"],
+                    rngs={"dropout": rng},
+                )
+                per = optax.sigmoid_binary_cross_entropy(
+                    out, labels.astype(out.dtype)
+                )
+                w = label_mask.astype(out.dtype)
+                loss = jnp.sum(per * w) / jnp.maximum(jnp.sum(w), 1.0)
+                return loss, upd["batch_stats"]
+
+            (loss, bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                variables["params"]
+            )
+            updates, opt_state = self.tx.update(
+                grads, opt_state, variables["params"]
+            )
+            params = optax.apply_updates(variables["params"], updates)
+            return {"params": params, "batch_stats": bs}, opt_state, loss
+
+        return step
+
+    def train_step(self, batch: MolGraphBatch, labels, label_mask) -> float:
+        if self._vars is None:
+            self.rng, k = jax.random.split(self.rng)
+            self._vars = self.model.init(k, batch, train=False)
+            self._vars = {"params": self._vars["params"],
+                          "batch_stats": self._vars.get("batch_stats", {})}
+            self._opt = self.tx.init(self._vars["params"])
+        self.rng, k = jax.random.split(self.rng)
+        self._vars, self._opt, loss = self._step(
+            self._vars, self._opt, batch, jnp.asarray(labels),
+            jnp.asarray(label_mask), k,
+        )
+        return float(loss)
+
+    def encoder_params(self):
+        return self._vars["params"]["encoder"], \
+            self._vars["batch_stats"].get("encoder", {})
+
+
+# ---------------------------------------------------------------------------
+# KG: HGT link prediction (shared bilinear decoder across edge types)
+# ---------------------------------------------------------------------------
+
+class HGTLinkPredModel(nn.Module):
+    """Reference HGTLinkPred (kg_pretraining.py:78-100): HGT encoder over
+    all node types + ONE shared bilinear scorer applied per edge type."""
+
+    hgt: HGTConfig
+    feature_dim: int
+
+    def setup(self):
+        self.encoder = HGTEncoder(cfg=self.hgt, embed_dim=self.feature_dim,
+                                  drug_only_head=False, name="encoder")
+        self.decoder = BilinearDDIScorer(
+            num_labels=1, input_dim1=self.feature_dim,
+            input_dim2=self.feature_dim, name="decoder",
+        )
+
+    def __call__(self, kg: HeteroKGBatch, edge_queries, *, train=False):
+        """edge_queries: list of (src_type, dst_type, src_idx, dst_idx)
+        padded arrays; returns concatenated logits."""
+        z = self.encoder(kg, train=train)
+        preds = []
+        for src_t, dst_t, si, di in edge_queries:
+            logits = self.decoder.triples(
+                z[src_t][si], z[dst_t][di],
+                jnp.zeros_like(si),
+            )
+            preds.append(logits)
+        return jnp.concatenate(preds, axis=0)
+
+
+class HGTLinkPredTrainer:
+    def __init__(self, hgt_cfg: HGTConfig, feature_dim: int, lr: float = 1e-3,
+                 seed: int = 0):
+        self.model = HGTLinkPredModel(hgt=hgt_cfg, feature_dim=feature_dim)
+        self.tx = optax.adam(lr)
+        self._vars = None
+        self._opt = None
+        self.rng = jax.random.PRNGKey(seed)
+        self._steps = {}  # jitted step per static edge-type signature
+
+    @staticmethod
+    def make_link_split(kg_edges: Dict, rng: np.random.RandomState,
+                        num_nodes: Dict[str, int],
+                        neg_ratio: float = 2.0, holdout: float = 0.2):
+        """RandomLinkSplit-style supervision: per edge type, hold out a
+        fraction as positives and sample `neg_ratio` corrupted-dst
+        negatives (kg_pretraining.py:41-75)."""
+        queries, labels, message_edges = [], [], {}
+        for et, ei in kg_edges.items():
+            src_t, _, dst_t = et
+            ei = np.asarray(ei)
+            e = ei.shape[1]
+            n_hold = max(1, int(e * holdout))
+            perm = rng.permutation(e)
+            held, kept = perm[:n_hold], perm[n_hold:]
+            message_edges[et] = ei[:, kept]
+            pos = ei[:, held]
+            n_neg = int(n_hold * neg_ratio)
+            neg_src = rng.choice(ei[0], n_neg)
+            neg_dst = rng.randint(0, num_nodes[dst_t], n_neg)
+            si = np.concatenate([pos[0], neg_src])
+            di = np.concatenate([pos[1], neg_dst])
+            queries.append((src_t, dst_t, jnp.asarray(si), jnp.asarray(di)))
+            labels.append(np.concatenate(
+                [np.ones(n_hold), np.zeros(n_neg)]))
+        return queries, jnp.asarray(np.concatenate(labels)), message_edges
+
+    def _make_step(self, types):
+        """`types` (tuple of (src_t, dst_t)) is static; index arrays are
+        dynamic jit args."""
+
+        def step(variables, opt_state, kg, query_arrays, labels):
+            def loss_fn(params):
+                queries = [
+                    (st, dt, si, di)
+                    for (st, dt), (si, di) in zip(types, query_arrays)
+                ]
+                out = self.model.apply(
+                    {"params": params}, kg, queries, train=True,
+                )
+                return jnp.mean(
+                    optax.sigmoid_binary_cross_entropy(
+                        out, labels.astype(out.dtype))
+                )
+
+            loss, grads = jax.value_and_grad(loss_fn)(variables["params"])
+            updates, opt_state = self.tx.update(
+                grads, opt_state, variables["params"]
+            )
+            params = optax.apply_updates(variables["params"], updates)
+            return {"params": params}, opt_state, loss
+
+        return jax.jit(step)
+
+    def train_step(self, kg: HeteroKGBatch, edge_queries, labels) -> float:
+        if self._vars is None:
+            self.rng, k = jax.random.split(self.rng)
+            v = self.model.init(k, kg, edge_queries, train=False)
+            self._vars = {"params": v["params"]}
+            self._opt = self.tx.init(self._vars["params"])
+        types = tuple((q[0], q[1]) for q in edge_queries)
+        arrays = [(q[2], q[3]) for q in edge_queries]
+        if types not in self._steps:
+            self._steps[types] = self._make_step(types)
+        self._vars, self._opt, loss = self._steps[types](
+            self._vars, self._opt, kg, arrays, labels
+        )
+        return float(loss)
+
+    def encoder_params(self):
+        return self._vars["params"]["encoder"]
+
+
+# ---------------------------------------------------------------------------
+# cv (tabular): MLP autoencoder with MSE (cv_pretraining.py:10-104)
+# ---------------------------------------------------------------------------
+
+class TabularAE(nn.Module):
+    input_dim: int
+    hidden_dims: Tuple[int, ...] = (512, 256)
+    latent_dim: int = 128
+    dropout: float = 0.2
+
+    def setup(self):
+        self.encoder = MLPEncoder(
+            hidden_dims=self.hidden_dims, output_dim=self.latent_dim,
+            dropout=self.dropout, norm=None, actn="relu", name="encoder",
+        )
+        self.decoder = MLPEncoder(
+            hidden_dims=tuple(reversed(self.hidden_dims)),
+            output_dim=self.input_dim, dropout=self.dropout, norm=None,
+            actn="relu", name="decoder",
+        )
+
+    def __call__(self, x, *, train=False):
+        h = nn.relu(self.encoder(x, train=train))
+        h2 = nn.relu(h)
+        recon = self.decoder(h2, train=train)
+        return h, recon
+
+
+class TabularAETrainer:
+    def __init__(self, input_dim: int, hidden_dims=(512, 256),
+                 latent_dim: int = 128, lr: float = 1e-3, seed: int = 0):
+        self.model = TabularAE(input_dim=input_dim, hidden_dims=hidden_dims,
+                               latent_dim=latent_dim)
+        self.tx = optax.adam(lr)
+        self._vars = None
+        self._opt = None
+        self.rng = jax.random.PRNGKey(seed)
+        self._step = jax.jit(self._make_step())
+
+    def _make_step(self):
+        def step(variables, opt_state, x, rng):
+            def loss_fn(params):
+                _, recon = self.model.apply(
+                    {"params": params}, x, train=True,
+                    rngs={"dropout": rng},
+                )
+                return jnp.mean((recon - x) ** 2)
+
+            loss, grads = jax.value_and_grad(loss_fn)(variables["params"])
+            updates, opt_state = self.tx.update(
+                grads, opt_state, variables["params"]
+            )
+            params = optax.apply_updates(variables["params"], updates)
+            return {"params": params}, opt_state, loss
+
+        return step
+
+    def train_step(self, x) -> float:
+        x = jnp.asarray(x)
+        if self._vars is None:
+            self.rng, k = jax.random.split(self.rng)
+            self._vars = {"params": self.model.init(k, x)["params"]}
+            self._opt = self.tx.init(self._vars["params"])
+        self.rng, k = jax.random.split(self.rng)
+        self._vars, self._opt, loss = self._step(self._vars, self._opt, x, k)
+        return float(loss)
+
+    def encoder_params(self):
+        return self._vars["params"]["encoder"]
+
+
+# ---------------------------------------------------------------------------
+# tx: chemCPA adaptation (model.py:729-829 update dynamics)
+# ---------------------------------------------------------------------------
+
+class ChemCPAAdaptTrainer:
+    """Alternating AE / adversary optimization:
+    every `adversary_steps`-th iteration updates the adversaries with a
+    gradient penalty; other iterations update the autoencoder (+dosers)
+    with GaussianNLL minus `reg_adversary*` terms. With disable_adv=True
+    (the Madrigal adaptation default) only the AE step runs."""
+
+    def __init__(self, cfg: ChemCPAConfig, lr: float = 1e-3,
+                 adversary_lr: float = 1e-3, adversary_steps: int = 2,
+                 reg_adversary: float = 5.0, reg_adversary_cov: float = 40.0,
+                 penalty_adversary: float = 4.0, seed: int = 0):
+        self.cfg = cfg
+        self.model = ChemCPAEncoder(cfg=cfg)
+        self.adversary_steps = adversary_steps
+        self.reg_adversary = reg_adversary
+        self.reg_adversary_cov = reg_adversary_cov
+        self.penalty_adversary = penalty_adversary
+        self.tx_ae = optax.adam(lr)
+        self.tx_adv = optax.adam(adversary_lr)
+        self.rng = jax.random.PRNGKey(seed)
+        self._vars = None
+        self.iteration = 0
+        self._ae_step = jax.jit(self._make_ae_step())
+        self._adv_step = (
+            jax.jit(self._make_adv_step()) if not cfg.disable_adv else None
+        )
+
+    def _adv_names(self):
+        return ("adversary_covariates", "adversary_drugs")
+
+    def _split(self, params):
+        ae = {k: v for k, v in params.items() if k not in self._adv_names()}
+        adv = {k: v for k, v in params.items() if k in self._adv_names()}
+        return ae, adv
+
+    def _make_ae_step(self):
+        def step(variables, opt_state, genes, cov_idx, drugs_idx, dosages):
+            bs = variables["batch_stats"]
+
+            def loss_fn(ae_params):
+                params = {**ae_params,
+                          **{k: variables["params"][k]
+                             for k in self._adv_names()
+                             if k in variables["params"]}}
+                (mean, var), upd = self.model.apply(
+                    {"params": params, "batch_stats": bs},
+                    genes, cov_idx, drugs_idx, dosages, train=True,
+                    mutable=["batch_stats"],
+                    method=ChemCPAEncoder.reconstruct,
+                )
+                loss = gaussian_nll_loss(mean, var, genes)
+                if not self.cfg.disable_adv:
+                    # running-stat (eval) BN for the auxiliary adversary
+                    # regularizer; the reconstruction pass above already
+                    # updates batch statistics
+                    basal = self.model.apply(
+                        {"params": params, "batch_stats": bs},
+                        genes, train=False,
+                        method=lambda m, g, train: m.latent_basal(
+                            g, train=train),
+                    )
+                    adv_logits = self.model.apply(
+                        {"params": params, "batch_stats": bs},
+                        basal,
+                        method=lambda m, b: m.adversary_covariates(b),
+                    )
+                    ce = optax.softmax_cross_entropy_with_integer_labels(
+                        adv_logits, cov_idx
+                    ).mean()
+                    loss = loss - self.reg_adversary_cov * ce
+                return loss, upd["batch_stats"]
+
+            ae_params, _ = self._split(variables["params"])
+            (loss, new_bs), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(ae_params)
+            updates, opt_state = self.tx_ae.update(grads, opt_state,
+                                                   ae_params)
+            new_ae = optax.apply_updates(ae_params, updates)
+            params = {**variables["params"], **new_ae}
+            return ({"params": params, "batch_stats": new_bs}, opt_state,
+                    loss)
+
+        return step
+
+    def _make_adv_step(self):
+        def step(variables, opt_state, genes, cov_idx):
+            bs = variables["batch_stats"]
+
+            def basal_fn(g):
+                return self.model.apply(
+                    {"params": variables["params"], "batch_stats": bs},
+                    g, train=False,
+                    method=lambda m, x, train: m.latent_basal(x, train=train),
+                )
+
+            basal = basal_fn(genes)
+
+            def loss_fn(adv_params):
+                params = {**variables["params"], **adv_params}
+
+                def adv_out(b):
+                    return self.model.apply(
+                        {"params": params, "batch_stats": bs}, b,
+                        method=lambda m, x: m.adversary_covariates(x),
+                    )
+
+                logits = adv_out(basal)
+                ce = optax.softmax_cross_entropy_with_integer_labels(
+                    logits, cov_idx
+                ).mean()
+                # gradient penalty wrt the basal latent (model.py:783-798)
+                grad_b = jax.grad(lambda b: adv_out(b).sum())(basal)
+                penalty = jnp.mean(grad_b ** 2)
+                return ce + self.penalty_adversary * penalty
+
+            _, adv_params = self._split(variables["params"])
+            loss, grads = jax.value_and_grad(loss_fn)(adv_params)
+            updates, opt_state = self.tx_adv.update(grads, opt_state,
+                                                    adv_params)
+            new_adv = optax.apply_updates(adv_params, updates)
+            params = {**variables["params"], **new_adv}
+            return ({"params": params, "batch_stats": bs}, opt_state, loss)
+
+        return step
+
+    def _init(self, genes, cov_idx, drugs_idx, dosages):
+        self.rng, k = jax.random.split(self.rng)
+        v = self.model.init(
+            k, genes, cov_idx, drugs_idx, dosages,
+            method=ChemCPAEncoder.warmup,
+        )
+        self._vars = {"params": v["params"],
+                      "batch_stats": v.get("batch_stats", {})}
+        ae, adv = self._split(self._vars["params"])
+        self._opt_ae = self.tx_ae.init(ae)
+        self._opt_adv = self.tx_adv.init(adv) if adv else None
+
+    def train_step(self, genes, cov_idx, drugs_idx=None, dosages=None
+                   ) -> Dict[str, float]:
+        genes = jnp.asarray(genes)
+        cov_idx = jnp.asarray(cov_idx)
+        if drugs_idx is not None:
+            drugs_idx = jnp.asarray(drugs_idx)
+            dosages = jnp.asarray(dosages)
+        if self._vars is None:
+            self._init(genes, cov_idx, drugs_idx, dosages)
+
+        run_adv = (
+            not self.cfg.disable_adv
+            and self.iteration % self.adversary_steps == 0
+        )
+        if run_adv:
+            self._vars, self._opt_adv, loss = self._adv_step(
+                self._vars, self._opt_adv, genes, cov_idx
+            )
+            out = {"loss_adv": float(loss)}
+        else:
+            self._vars, self._opt_ae, loss = self._ae_step(
+                self._vars, self._opt_ae, genes, cov_idx, drugs_idx, dosages
+            )
+            out = {"loss_reconstruction": float(loss)}
+        self.iteration += 1
+        return out
+
+    def encoder_variables(self):
+        return self._vars

@@ -1,0 +1,79 @@
+"""Stage-1 modality pretraining tests over synthetic data."""
+import numpy as np
+import pytest
+
+from madrigal_tpu.config import ChemCPAConfig, GINConfig, HGTConfig
+from madrigal_tpu.data.kg import build_kg_batch
+from madrigal_tpu.data.molgraph import pack_molecules
+from madrigal_tpu.data.synthetic import make_dataset, random_molecule
+from madrigal_tpu.train.modality_pretrain import (
+    ChemCPAAdaptTrainer,
+    GINPretrainer,
+    HGTLinkPredTrainer,
+    TabularAETrainer,
+)
+
+
+def test_gin_property_pretrain(rng):
+    graphs = [random_molecule(rng, int(rng.randint(4, 12)))
+              for _ in range(16)]
+    batch = pack_molecules(graphs)
+    labels = (rng.rand(16, 5) < 0.3).astype(np.float32)
+    mask = (rng.rand(16, 5) < 0.8).astype(np.float32)
+    tr = GINPretrainer(GINConfig(hidden_dims=(16, 16), num_mlp_layer=2),
+                       feature_dim=16, num_tasks=5, lr=3e-3)
+    losses = [tr.train_step(batch, labels, mask) for _ in range(15)]
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
+    enc_p, enc_bs = tr.encoder_params()
+    assert "layer_0" in enc_p
+
+
+def test_hgt_link_pred(rng):
+    ds = make_dataset(num_drugs=16, seed=4)
+    split_rng = np.random.RandomState(0)
+    num_nodes = {k: v.shape[0] for k, v in ds.kg_node_feats.items()}
+    tr = HGTLinkPredTrainer(HGTConfig(hidden_dim=16, num_layers=2,
+                                      att_heads=2), feature_dim=16, lr=3e-3)
+    queries, labels, message_edges = tr.make_link_split(
+        ds.kg_edge_indices, split_rng, num_nodes
+    )
+    kg = build_kg_batch(ds.kg_node_feats, message_edges, ds.kg_drug_ids)
+    losses = [tr.train_step(kg, queries, labels) for _ in range(20)]
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
+
+
+def test_cv_autoencoder(rng):
+    x = rng.randn(64, 40).astype(np.float32)
+    tr = TabularAETrainer(input_dim=40, hidden_dims=(32, 16), latent_dim=8,
+                          lr=3e-3)
+    losses = [tr.train_step(x) for _ in range(80)]
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0] * 0.95
+
+
+@pytest.mark.parametrize("disable_adv", [True, False])
+def test_chemcpa_adaptation(rng, disable_adv):
+    cfg = ChemCPAConfig(num_genes=30, dim=16, autoencoder_width=32,
+                        autoencoder_depth=1, num_covariates=4,
+                        use_drugs=False, disable_adv=disable_adv,
+                        adversary_width=16, adversary_depth=1)
+    tr = ChemCPAAdaptTrainer(cfg, lr=3e-3, adversary_steps=2)
+    genes = rng.randn(32, 30).astype(np.float32)
+    cov = rng.randint(0, 4, 32)
+    recon_losses, adv_losses = [], []
+    for _ in range(16):
+        out = tr.train_step(genes, cov)
+        if "loss_reconstruction" in out:
+            recon_losses.append(out["loss_reconstruction"])
+        else:
+            adv_losses.append(out["loss_adv"])
+    assert np.isfinite(recon_losses).all()
+    if disable_adv:
+        assert not adv_losses
+        assert recon_losses[-1] < recon_losses[0]
+    else:
+        # alternating schedule: every 2nd iteration is an adversary step
+        assert len(adv_losses) == 8
+        assert np.isfinite(adv_losses).all()

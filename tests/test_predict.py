@@ -1,0 +1,121 @@
+"""Serving API tests: checkpoint->model reconstruction, embed-all-drugs,
+all-pairs scoring consistency with the decoder, triple lookups,
+ensembling."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from madrigal_tpu.config import (
+    ChemCPAConfig,
+    EncoderConfig,
+    FusionConfig,
+    GINConfig,
+    HGTConfig,
+    MLPEncoderConfig,
+    ModelConfig,
+    ProjectorConfig,
+    TrainConfig,
+)
+from madrigal_tpu.data.collate import DDICollator
+from madrigal_tpu.data.synthetic import make_dataset
+from madrigal_tpu.eval.predict import (
+    embed_all_drugs,
+    ensemble_sigmoid_mean,
+    make_predictions,
+    model_from_checkpoint,
+    score_all_pairs,
+    score_triples_for_pairs,
+)
+from madrigal_tpu.models.encoder import MadrigalMultilabel, init_multilabel
+
+
+@pytest.fixture(scope="module")
+def setup(tmp_path_factory):
+    enc = EncoderConfig(
+        feature_dim=16,
+        gin=GINConfig(hidden_dims=(16, 16), num_mlp_layer=2),
+        hgt=HGTConfig(hidden_dim=8, num_layers=2, att_heads=2),
+        cv=MLPEncoderConfig(hidden_dims=(32, 16)),
+        chemcpa=ChemCPAConfig(dim=16, autoencoder_width=32,
+                              autoencoder_depth=1),
+        transformer=FusionConfig(num_layers=1, att_heads=2, head_dim=8,
+                                 ffn_dim=32, dropout=0.1, norm_first=True,
+                                 agg="x-attn", num_tx_bottlenecks=2),
+        proj=ProjectorConfig(hidden_dims=(32, 32)),
+        pos_emb_type="sinusoidal",
+    )
+    cfg = TrainConfig(model=ModelConfig(encoder=enc, prediction_dim=6))
+    ds = make_dataset(num_drugs=18, num_labels=6, num_edges=30, seed=5)
+    coll = DDICollator(ds, split="train")
+    batch, kg = coll()
+    model = MadrigalMultilabel(enc_cfg=enc, prediction_dim=6)
+    variables = init_multilabel(model, jax.random.PRNGKey(0), batch.head,
+                                batch.tail, kg)
+    path = str(tmp_path_factory.mktemp("ckpt") / "m")
+    from madrigal_tpu.train.checkpoint import save_checkpoint
+
+    save_checkpoint(path, variables["params"],
+                    variables.get("batch_stats", {}), cfg, epoch=1)
+    return cfg, ds, coll, batch, kg, model, variables, path
+
+
+def test_model_from_checkpoint(setup):
+    cfg, ds, coll, batch, kg, model, variables, path = setup
+    model2, vars2, cfg2 = model_from_checkpoint(path)
+    s1 = model.apply(variables, batch.head, batch.tail, kg, train=False)
+    s2 = model2.apply(vars2, batch.head, batch.tail, kg, train=False)
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), atol=1e-6)
+
+
+def test_embed_and_score_all_pairs(setup):
+    cfg, ds, coll, batch, kg, model, variables, path = setup
+    z = embed_all_drugs(model, variables, coll, kg, batch_size=7)
+    assert z.shape == (ds.num_drugs, 16)
+    assert np.isfinite(z).all()
+
+    scores = score_all_pairs(model, variables, z, label_chunk=4)
+    assert scores.shape == (6, ds.num_drugs, ds.num_drugs)
+
+    # decoder consistency: chunked export == direct decoder on embeddings
+    direct = model.apply(
+        variables, jnp.asarray(z), jnp.asarray(z),
+        method=lambda m, a, b: m.decoder.all_pairs(a, b),
+    )
+    np.testing.assert_allclose(scores, np.asarray(direct), atol=1e-4,
+                               rtol=1e-4)
+
+    # triple lookup
+    triples = [(0, 1, 2), (5, 3, 4), (2, 0, 17)]
+    t = score_triples_for_pairs(model, variables, z, triples)
+    for k, (l, a, b) in enumerate(triples):
+        assert abs(t[k] - scores[l, a, b]) < 1e-4
+
+
+def test_embedding_batch_invariance(setup):
+    """Embeddings must not depend on batch chunking."""
+    cfg, ds, coll, batch, kg, model, variables, path = setup
+    z1 = embed_all_drugs(model, variables, coll, kg, batch_size=5)
+    z2 = embed_all_drugs(model, variables, coll, kg, batch_size=18)
+    np.testing.assert_allclose(z1, z2, atol=1e-5)
+
+
+def test_make_predictions_eval_types(setup):
+    cfg, ds, coll, batch, kg, model, variables, path = setup
+    p_full = make_predictions(model, variables, batch, kg, "full_full",
+                              "str_random_sample")
+    p_str = make_predictions(model, variables, batch, kg, "str_str",
+                             "str_random_sample")
+    assert p_full.shape == p_str.shape == (batch.labels.shape[0],)
+    assert ((p_full >= 0) & (p_full <= 1)).all()
+    # different masks -> different predictions
+    assert not np.allclose(p_full, p_str)
+
+
+def test_ensemble_sigmoid_mean(rng):
+    a = rng.randn(10)
+    b = rng.randn(10)
+    out = ensemble_sigmoid_mean([a, b])
+    sig = lambda x: 1 / (1 + np.exp(-x))
+    np.testing.assert_allclose(out, (sig(a) + sig(b)) / 2, atol=1e-12)
