@@ -1,0 +1,84 @@
+"""Shared CLI plumbing: argparse <-> dataclass-config bridge, data loading.
+
+The reference's per-stage argparse surface (reference: madrigal/
+parse_args.py:5-217) maps onto the dataclass configs via dotted overrides;
+`--from_yaml` layers a YAML file first, then explicit flags win
+(parse_args.py:361-369 ordering).
+"""
+from __future__ import annotations
+
+import argparse
+import json
+from typing import Any, Optional, Tuple
+
+from .. import config as config_lib
+from ..data.collate import DDICollator
+from ..data.synthetic import SyntheticDataset, make_dataset
+
+
+def add_common_args(p: argparse.ArgumentParser):
+    p.add_argument("--from_yaml", type=str, default=None,
+                   help="YAML config overrides (dotted keys supported)")
+    p.add_argument("--set", action="append", default=[], metavar="KEY=VALUE",
+                   help="dotted config override, e.g. "
+                        "--set model.encoder.transformer.num_layers=2")
+    p.add_argument("--synthetic", action="store_true",
+                   help="run on the built-in synthetic miniature dataset")
+    p.add_argument("--synthetic_drugs", type=int, default=32)
+    p.add_argument("--synthetic_labels", type=int, default=12)
+    p.add_argument("--synthetic_edges", type=int, default=120)
+    p.add_argument("--data_dir", type=str, default=None,
+                   help="root of a reference-format data directory")
+    p.add_argument("--save_dir", type=str, default="./madrigal_output")
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--debug", action="store_true")
+    p.add_argument("--platform", type=str, default=None,
+                   choices=[None, "cpu", "tpu"],
+                   help="force a jax platform (cpu for local debugging)")
+
+
+def _parse_value(v: str):
+    try:
+        return json.loads(v)
+    except json.JSONDecodeError:
+        return v
+
+
+def apply_overrides(cfg: Any, args: argparse.Namespace) -> Any:
+    if args.from_yaml:
+        cfg = config_lib.load_yaml_overrides(cfg, args.from_yaml)
+    overrides = {}
+    for kv in args.set:
+        k, _, v = kv.partition("=")
+        overrides[k] = _parse_value(v)
+    if overrides:
+        cfg = config_lib.override(cfg, overrides)
+    return cfg
+
+
+def setup_platform(args: argparse.Namespace):
+    if args.platform == "cpu":
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir",
+                      "/tmp/madrigal_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+def load_data(args: argparse.Namespace) -> Tuple[SyntheticDataset, DDICollator]:
+    if args.synthetic or not args.data_dir:
+        ds = make_dataset(
+            num_drugs=args.synthetic_drugs,
+            num_labels=args.synthetic_labels,
+            num_edges=args.synthetic_edges,
+            seed=args.seed,
+        )
+    else:
+        from ..data.datasets import load_reference_dataset
+
+        ds = load_reference_dataset(args.data_dir)
+    coll = DDICollator(ds, split="train", seed=args.seed)
+    return ds, coll

@@ -1,0 +1,85 @@
+"""Contrastive pretraining entry point (stage 2).
+
+CLI analog of the reference's `python pretrain.py`
+(reference: pretrain.py:41-292): drugs with >=2 modalities, subset-mask
+sampling per step, SimCLR InfoNCE, periodic checkpointing.
+
+Usage:
+  python -m madrigal_tpu.cli.pretrain --synthetic --num_steps 100 \
+      --pretrain_mode str_center_uni --platform cpu
+"""
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import os
+
+from .. import config as config_lib
+from ..config import PretrainConfig
+from .common import add_common_args, apply_overrides, load_data, setup_platform
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="Madrigal-TPU CL pretraining")
+    add_common_args(p)
+    p.add_argument("--pretrain_mode", type=str, default="str_center_uni")
+    p.add_argument("--pretrain_unbalanced", action="store_true")
+    p.add_argument("--raw_encoder_output", action="store_true")
+    p.add_argument("--num_steps", type=int, default=100)
+    p.add_argument("--batch_size", type=int, default=None)
+    p.add_argument("--save_checkpoints", type=int, default=None)
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    setup_platform(args)
+
+    from ..train.checkpoint import save_checkpoint
+    from ..train.pretrain_cl import CLPretrainer
+    from ..utils.logging import MetricLogger, get_root_logger
+
+    os.makedirs(args.save_dir, exist_ok=True)
+    logger = get_root_logger(os.path.join(args.save_dir, "pretrain.log"))
+    mlog = MetricLogger(args.save_dir, run_name="pretrain")
+
+    ds, coll = load_data(args)
+    cfg = PretrainConfig(
+        seed=args.seed,
+        pretrain_mode=args.pretrain_mode,
+        pretrain_unbalanced=args.pretrain_unbalanced,
+        raw_encoder_output=args.raw_encoder_output,
+    )
+    cfg = apply_overrides(cfg, args)
+    if args.batch_size:
+        cfg = dataclasses.replace(cfg, pretrain_batch_size=args.batch_size)
+    if args.save_checkpoints:
+        cfg = dataclasses.replace(cfg, save_checkpoints=args.save_checkpoints)
+    config_lib.validate(cfg)
+    logger.info(f"config:\n{config_lib.dumps(cfg)}")
+
+    kg = coll.kg_batch()
+    trainer = CLPretrainer(cfg, coll, kg)
+    for step in range(args.num_steps):
+        loss = trainer.train_step()
+        mlog.log({"cl_loss": loss}, step=step)
+        if step % 10 == 0:
+            logger.info(f"step {step}: infonce={loss:.4f}")
+        if step > 0 and step % cfg.save_checkpoints == 0:
+            save_checkpoint(
+                os.path.join(args.save_dir, f"cl_checkpoint_{step}"),
+                trainer.state.params, trainer.state.batch_stats, cfg,
+                epoch=step,
+            )
+
+    save_checkpoint(
+        os.path.join(args.save_dir, "cl_last"),
+        trainer.state.params, trainer.state.batch_stats, cfg,
+        epoch=args.num_steps,
+    )
+    logger.info("done")
+    mlog.finish()
+
+
+if __name__ == "__main__":
+    main()

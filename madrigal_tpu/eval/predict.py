@@ -154,6 +154,13 @@ def score_triples_for_pairs(
 ) -> np.ndarray:
     """Scores for explicit (label, drugA, drugB) triples
     (quick_predictions path, predict.py:582-614)."""
+    L = variables["params"]["decoder"]["weight"].shape[0]
+    n = z.shape[0]
+    for t in triples:
+        if not (0 <= t[0] < L):
+            raise ValueError(f"outcome {t[0]} out of range [0, {L})")
+        if not (0 <= t[1] < n and 0 <= t[2] < n):
+            raise ValueError(f"drug index out of range [0, {n}): {t}")
     labels = jnp.asarray([t[0] for t in triples], jnp.int32)
     a = jnp.asarray(z)[jnp.asarray([t[1] for t in triples], jnp.int32)]
     b = jnp.asarray(z)[jnp.asarray([t[2] for t in triples], jnp.int32)]

@@ -1,0 +1,88 @@
+"""CLI entry points + reference-format dataset round-trip tests."""
+import os
+
+import numpy as np
+import pytest
+
+from madrigal_tpu.data.datasets import (
+    export_synthetic_as_reference_layout,
+    load_reference_dataset,
+)
+from madrigal_tpu.data.synthetic import make_dataset
+
+
+def test_reference_layout_roundtrip(tmp_path):
+    ds = make_dataset(num_drugs=10, num_labels=4, num_edges=16, seed=7)
+    root = str(tmp_path / "data")
+    export_synthetic_as_reference_layout(ds, root)
+    ds2 = load_reference_dataset(root)
+    assert ds2.num_drugs == ds.num_drugs
+    assert ds2.num_labels == ds.num_labels
+    np.testing.assert_array_equal(ds2.mod_avail, ds.mod_avail)
+    np.testing.assert_allclose(ds2.cv_table, ds.cv_table, atol=1e-5)
+    np.testing.assert_allclose(ds2.tx_table, ds.tx_table, atol=1e-5)
+    np.testing.assert_array_equal(ds2.kg_drug_ids, ds.kg_drug_ids)
+    assert set(ds2.kg_edge_indices) == set(ds.kg_edge_indices)
+    assert len(ds2.edge_df) == len(ds.edge_df)
+
+
+def test_directedness_assertion(tmp_path):
+    """Loader must reject undirected duplicate edges (data.py:594-596)."""
+    import pandas as pd
+
+    ds = make_dataset(num_drugs=10, num_labels=4, num_edges=16, seed=7)
+    root = str(tmp_path / "data")
+    export_synthetic_as_reference_layout(ds, root)
+    p = os.path.join(root, "polypharmacy_new", "TWOSIDES",
+                     "split_by_triplets", "train_df.csv")
+    df = pd.read_csv(p)
+    dup = df.iloc[[0]].rename(
+        columns={"head": "tail", "tail": "head"})[df.columns]
+    pd.concat([df, dup]).to_csv(p, index=False)
+    with pytest.raises(AssertionError):
+        load_reference_dataset(root)
+
+
+def test_cli_train_and_predict(tmp_path):
+    from madrigal_tpu.cli.predict import main as predict_main
+    from madrigal_tpu.cli.train_ddi import main as train_main
+
+    save = str(tmp_path / "out")
+    key = train_main([
+        "--synthetic", "--synthetic_drugs", "12", "--synthetic_labels", "4",
+        "--synthetic_edges", "16", "--num_epochs", "6",
+        "--evaluate_interval", "2", "--warmup_epochs", "1",
+        "--save_dir", save, "--platform", "cpu",
+        "--set", "model.encoder.feature_dim=16",
+        "--set", "model.encoder.gin.hidden_dims=[16,16]",
+        "--set", "model.encoder.gin.num_mlp_layer=2",
+        "--set", "model.encoder.hgt.hidden_dim=8",
+        "--set", "model.encoder.hgt.att_heads=2",
+        "--set", "model.encoder.cv.hidden_dims=[32,16]",
+        "--set", "model.encoder.chemcpa.dim=16",
+        "--set", "model.encoder.chemcpa.autoencoder_width=32",
+        "--set", "model.encoder.chemcpa.autoencoder_depth=1",
+        "--set", "model.encoder.transformer.num_layers=1",
+        "--set", "model.encoder.transformer.att_heads=2",
+        "--set", "model.encoder.transformer.head_dim=8",
+        "--set", "model.encoder.transformer.ffn_dim=32",
+        "--set", "model.encoder.transformer.num_tx_bottlenecks=2",
+        "--set", "model.encoder.proj.hidden_dims=[32,32]",
+        "--set", "model.encoder.pos_emb_type=sinusoidal",
+    ])
+    assert np.isfinite(key)
+    assert os.path.exists(os.path.join(save, "last_model"))
+    assert os.path.exists(os.path.join(save, "train_ddi.log"))
+    assert os.path.exists(os.path.join(save, "train_ddi_metrics.jsonl"))
+
+    emb_path = str(tmp_path / "z.npy")
+    scores = predict_main([
+        "--synthetic", "--synthetic_drugs", "12", "--synthetic_labels", "4",
+        "--synthetic_edges", "16",
+        "--checkpoint", os.path.join(save, "last_model"),
+        "--export_embeddings", emb_path,
+        "--triples", "0:1:2", "3:4:5", "--platform", "cpu",
+    ])
+    assert len(scores) == 2 and np.isfinite(scores).all()
+    z = np.load(emb_path)
+    assert z.shape == (12, 16)
