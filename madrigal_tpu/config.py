@@ -104,6 +104,16 @@ class HANConfig:
 
 
 @dataclass(frozen=True)
+class RGCNConfig:
+    """Alternate KG encoder (reference models.py:99-117)."""
+    hidden_dim: int = 128
+    num_layers: int = 2
+    num_bases: int = 8
+    aggr: str = "mean"
+    actn: str = "relu"
+
+
+@dataclass(frozen=True)
 class MLPEncoderConfig:
     """Tabular modality encoder (cv / bs / mlp-tx). Reference: parse_args.py:58-74."""
     input_dim: int = CV_INPUT_DIM
@@ -179,9 +189,10 @@ class EncoderConfig:
     str_encoder: str = "gin"  # 'gin' | 'gat'
     gin: GINConfig = field(default_factory=GINConfig)
     gat: GATConfig = field(default_factory=GATConfig)
-    kg_encoder: str = "hgt"  # 'hgt' | 'han'
+    kg_encoder: str = "hgt"  # 'hgt' | 'han' | 'rgcn'
     hgt: HGTConfig = field(default_factory=HGTConfig)
     han: HANConfig = field(default_factory=HANConfig)
+    rgcn: RGCNConfig = field(default_factory=RGCNConfig)
     cv_encoder: str = "mlp"
     cv: MLPEncoderConfig = field(default_factory=MLPEncoderConfig)
     extra_tabular: dict = field(default_factory=dict)  # mod name -> MLPEncoderConfig

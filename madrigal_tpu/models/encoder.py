@@ -51,6 +51,18 @@ class MadrigalEncoder(nn.Module):
                 readout=c.gin.readout,
                 name="str_encoder",
             )
+        elif c.str_encoder == "gat":
+            from .gat import GATEncoder
+
+            self.str_enc = GATEncoder(
+                hidden_dims=tuple(c.gat.hidden_dims) + (c.feature_dim,),
+                num_head=c.gat.att_heads,
+                negative_slope=c.gat.negative_slope,
+                batch_norm=c.gat.batch_norm,
+                actn=c.gat.actn,
+                readout=c.gat.readout,
+                name="str_encoder",
+            )
         else:
             raise NotImplementedError(c.str_encoder)
 
@@ -58,6 +70,20 @@ class MadrigalEncoder(nn.Module):
             self.kg_enc = HGTEncoder(
                 cfg=c.hgt, embed_dim=c.feature_dim, drug_only_head=True,
                 name="kg_encoder",
+            )
+        elif "han" in c.kg_encoder:
+            from .kg_alt import HANEncoder
+
+            self.kg_enc = HANEncoder(
+                cfg=c.han, embed_dim=c.feature_dim, name="kg_encoder",
+            )
+        elif "rgcn" in c.kg_encoder:
+            from .kg_alt import RGCNEncoder
+
+            self.kg_enc = RGCNEncoder(
+                hidden_dim=c.rgcn.hidden_dim, embed_dim=c.feature_dim,
+                num_layers=c.rgcn.num_layers, num_bases=c.rgcn.num_bases,
+                aggr=c.rgcn.aggr, actn=c.rgcn.actn, name="kg_encoder",
             )
         else:
             raise NotImplementedError(c.kg_encoder)
@@ -322,6 +348,7 @@ class MadrigalMultilabel(nn.Module):
     enc_cfg: EncoderConfig
     prediction_dim: int
     decoder_normalize: bool = False
+    prediction_dim_single_drug: Optional[int] = None
 
     def setup(self):
         self.encoder = MadrigalEncoder(cfg=self.enc_cfg, name="encoder")
@@ -331,6 +358,13 @@ class MadrigalMultilabel(nn.Module):
             input_dim2=self.enc_cfg.feature_dim,
             name="decoder",
         )
+        if self.prediction_dim_single_drug:
+            # single-drug side-effect head (ONSIDES path; reference
+            # NovelDDIMultilabel use_single_drug, models.py:915-921 and the
+            # [head, label] indexing at evaluate.py:219)
+            self.single_drug_head = nn.Dense(
+                self.prediction_dim_single_drug, name="single_drug_head"
+            )
 
     def embed_pair(self, head, tail, kg, *, train=False):
         """Encode head and tail batches, sharing one KG message pass."""
@@ -353,11 +387,20 @@ class MadrigalMultilabel(nn.Module):
         z_head, z_tail = self.embed_pair(head, tail, kg, train=train)
         return self.decoder.triples(z_head[head_idx], z_tail[tail_idx], labels)
 
+    def score_single_drug(self, batch, kg, *, train=False):
+        """[N, L_single] single-drug side-effect logits."""
+        table = self.encoder.kg_drug_table(kg, train=train)
+        z = self.encoder.encode(batch, kg_drug_table=table, train=train)
+        return self.single_drug_head(z)
+
     def warmup(self, head, tail, kg):
         """Trace every parameterized path for full flax init."""
         z = _encoder_warmup(self.encoder, head, kg)
         scores = self.decoder.all_pairs(z, z)
-        return jnp.sum(scores)
+        total = jnp.sum(scores)
+        if self.prediction_dim_single_drug:
+            total = total + jnp.sum(self.single_drug_head(z))
+        return total
 
 
 def init_multilabel(model: MadrigalMultilabel, rng, head, tail, kg):

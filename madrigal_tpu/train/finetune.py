@@ -54,6 +54,10 @@ class FinetuneTrainer:
             enc_cfg=cfg.model.encoder,
             prediction_dim=cfg.model.prediction_dim,
             decoder_normalize=cfg.model.decoder_normalize,
+            prediction_dim_single_drug=(
+                cfg.model.prediction_dim_single_drug
+                if cfg.use_single_drug else None
+            ),
         )
         rng = jax.random.PRNGKey(cfg.seed) if rng is None else rng
         self.rng, init_rng = jax.random.split(rng)

@@ -59,3 +59,23 @@ def info_nce(aug1, aug2, temperature: float, too_hard_neg_mask=None):
     logp = jax.nn.log_softmax(logits, axis=-1)
     loss = -jnp.mean(jnp.sum(pos_nd * logp, axis=-1))
     return logits, pos_nd, loss
+
+
+def ce_loss_for_pairs(logits_all_labels, labels, weights,
+                      readout: str = "mean"):
+    """Multiclass cross-entropy over per-pair label logits
+    (reference get_loss_fn 'ce' branch, utils.py:620-622; the DrugBank
+    multiclass task -- parse_args.py:117).
+
+    logits_all_labels: [T, L] per-pair scores across all outcomes;
+    labels: [T] int targets; weights: [T] 0/1 mask.
+    """
+    import optax as _optax
+
+    per = _optax.softmax_cross_entropy_with_integer_labels(
+        logits_all_labels, labels
+    )
+    w = weights.astype(per.dtype)
+    if readout == "mean":
+        return jnp.sum(per * w) / jnp.maximum(jnp.sum(w), 1.0)
+    return jnp.sum(per * w)

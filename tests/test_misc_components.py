@@ -1,0 +1,96 @@
+"""Tests for pipeline prefetcher, VAE, CE loss, single-drug head."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+
+def test_device_prefetcher_order_and_error():
+    from madrigal_tpu.data.pipeline import DevicePrefetcher, prefetch_epochs
+
+    batches = [np.full((4,), i, np.float32) for i in range(5)]
+    out = list(DevicePrefetcher(batches, buffer_size=2))
+    assert len(out) == 5
+    for i, b in enumerate(out):
+        assert float(np.asarray(b)[0]) == i
+
+    def gen():
+        yield np.zeros(3)
+        raise RuntimeError("collator exploded")
+
+    with pytest.raises(RuntimeError, match="collator exploded"):
+        list(DevicePrefetcher(gen()))
+
+    out = list(prefetch_epochs(lambda s: np.full((2,), s), 3))
+    assert [int(np.asarray(b)[0]) for b in out] == [0, 1, 2]
+
+
+def test_vae_roundtrip(rng):
+    from madrigal_tpu.models.vae import VAE, vae_loss
+
+    model = VAE(input_dim=20, hidden_dims=(32, 16), hidden_dim=16,
+                latent_dim=8, dropout=0.0)
+    x = jnp.asarray(rng.randn(10, 20).astype(np.float32))
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "reparam": jax.random.PRNGKey(1)},
+        x, train=True,
+    )
+    z, recon, mu, logvar = model.apply(variables, x, train=False)
+    assert z.shape == (10, 8) and recon.shape == (10, 20)
+    total, rl, kl = vae_loss(x, recon, mu, logvar)
+    assert np.isfinite(float(total))
+    # train mode samples (needs reparam rng)
+    z2, *_ = model.apply(variables, x, train=True,
+                         rngs={"reparam": jax.random.PRNGKey(2)})
+    assert not np.allclose(np.asarray(z), np.asarray(z2))
+
+
+def test_ce_loss(rng):
+    from madrigal_tpu.train.losses import ce_loss_for_pairs
+
+    logits = jnp.asarray(rng.randn(6, 4).astype(np.float32))
+    labels = jnp.asarray([0, 1, 2, 3, 0, 1])
+    w = jnp.ones(6)
+    loss = ce_loss_for_pairs(logits, labels, w)
+    import torch
+
+    ref = torch.nn.CrossEntropyLoss()(
+        torch.from_numpy(np.asarray(logits)),
+        torch.from_numpy(np.asarray(labels)).long(),
+    ).item()
+    assert abs(float(loss) - ref) < 1e-5
+
+
+def test_single_drug_head(rng):
+    from madrigal_tpu.config import (
+        ChemCPAConfig, EncoderConfig, FusionConfig, GINConfig, HGTConfig,
+        MLPEncoderConfig, ProjectorConfig,
+    )
+    from madrigal_tpu.data.collate import DDICollator
+    from madrigal_tpu.data.synthetic import make_dataset
+    from madrigal_tpu.models.encoder import MadrigalMultilabel, init_multilabel
+
+    enc = EncoderConfig(
+        feature_dim=16, gin=GINConfig(hidden_dims=(16, 16), num_mlp_layer=2),
+        hgt=HGTConfig(hidden_dim=8, num_layers=2, att_heads=2),
+        cv=MLPEncoderConfig(hidden_dims=(32, 16)),
+        chemcpa=ChemCPAConfig(dim=16, autoencoder_width=32,
+                              autoencoder_depth=1),
+        transformer=FusionConfig(num_layers=1, att_heads=2, head_dim=8,
+                                 ffn_dim=32, dropout=0.0, norm_first=True,
+                                 agg="x-attn", num_tx_bottlenecks=2),
+        proj=ProjectorConfig(hidden_dims=(32, 32)),
+        pos_emb_type="sinusoidal",
+    )
+    ds = make_dataset(num_drugs=10, num_labels=4, num_edges=14, seed=11)
+    batch, kg = DDICollator(ds, split="train")()
+    model = MadrigalMultilabel(enc_cfg=enc, prediction_dim=4,
+                               prediction_dim_single_drug=7)
+    variables = init_multilabel(model, jax.random.PRNGKey(0), batch.head,
+                                batch.tail, kg)
+    assert "single_drug_head" in variables["params"]
+    out = model.apply(variables, batch.head, kg, train=False,
+                      method=MadrigalMultilabel.score_single_drug)
+    assert out.shape == (batch.head.batch_size, 7)
+    assert np.isfinite(np.asarray(out)).all()
