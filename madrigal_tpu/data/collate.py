@@ -129,6 +129,16 @@ class DDICollator:
                 [np.stack([pos[:, 0], nt], 1), np.stack([nh, pos[:, 1]], 1)]
             )
             neg_labels = np.tile(labels, 2)
+        elif self.split in ("val_between", "test_between"):
+            # between splits corrupt only the train-side tail, twice
+            # (reference data.py:850-854: neg_tail_1 / neg_tail_2)
+            neg = np.concatenate(
+                [
+                    np.stack([pos[:, 0], df["neg_tail_1"].values], 1),
+                    np.stack([pos[:, 0], df["neg_tail_2"].values], 1),
+                ]
+            )
+            neg_labels = np.tile(labels, 2)
         else:
             neg = np.concatenate(
                 [

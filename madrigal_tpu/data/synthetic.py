@@ -183,3 +183,78 @@ def make_dataset(
         kg_drug_ids=kg_drug_ids,
         edge_df=edge_df,
     )
+
+
+def make_split_dataset(
+    num_drugs: int = 32,
+    num_labels: int = 12,
+    num_edges: int = 160,
+    split_method: str = "split_by_triplets",
+    val_frac: float = 0.15,
+    test_frac: float = 0.15,
+    seed: int = 0,
+):
+    """Dataset + split edge tables mirroring the reference's split families
+    (reference: madrigal/data/data.py:556-612 split semantics):
+
+    * split_by_triplets / split_by_pairs: random row split; every split has
+      neg_head/neg_tail columns.
+    * split_by_drugs_*: drugs partition into train/eval sets; 'between'
+      edges (eval-head -> train-tail) carry neg_tail_1/neg_tail_2 fixed
+      negatives (data.py:584-589); 'within' edges connect eval drugs.
+
+    Returns (SyntheticDataset-with-train-edges, {split_name: DataFrame}).
+    """
+    import pandas as pd
+
+    rng = np.random.RandomState(seed)
+    ds = make_dataset(num_drugs, num_labels, num_edges * 2, seed=seed)
+    df = ds.edge_df
+
+    if split_method in ("split_by_triplets", "split_by_pairs"):
+        perm = rng.permutation(len(df))
+        n_val = int(len(df) * val_frac)
+        n_test = int(len(df) * test_frac)
+        val = df.iloc[perm[:n_val]].reset_index(drop=True)
+        test = df.iloc[perm[n_val:n_val + n_test]].reset_index(drop=True)
+        train = df.iloc[perm[n_val + n_test:]].reset_index(drop=True)
+        splits = {"train": train, "val": val, "test": test}
+    elif split_method.startswith("split_by_drugs"):
+        drugs = rng.permutation(num_drugs)
+        n_eval = max(2, int(num_drugs * (val_frac + test_frac)))
+        eval_drugs = set(drugs[:n_eval].tolist())
+        half = len(eval_drugs) // 2
+        val_drugs = set(list(eval_drugs)[:half])
+        test_drugs = eval_drugs - val_drugs
+
+        def classify(row):
+            h_in = row["head"] in eval_drugs
+            t_in = row["tail"] in eval_drugs
+            if not h_in and not t_in:
+                return "train"
+            which = "val" if (row["head"] in val_drugs
+                              or row["tail"] in val_drugs) else "test"
+            if h_in and t_in:
+                return f"{which}_within"
+            return f"{which}_between"
+
+        df = df.copy()
+        df["_split"] = df.apply(classify, axis=1)
+        splits = {}
+        for name, sub in df.groupby("_split"):
+            sub = sub.drop(columns=["_split"]).reset_index(drop=True)
+            if name.endswith("_between"):
+                # between-split fixed negatives corrupt only the train-side
+                # tail (data.py:584-589)
+                train_side = sorted(set(range(num_drugs)) - eval_drugs)
+                sub["neg_tail_1"] = rng.choice(train_side, len(sub))
+                sub["neg_tail_2"] = rng.choice(train_side, len(sub))
+                sub = sub.drop(columns=["neg_head", "neg_tail"])
+            splits[name] = sub
+        splits.setdefault("train", df[df["_split"] == "train"]
+                          .drop(columns=["_split"]).reset_index(drop=True))
+    else:
+        raise ValueError(split_method)
+
+    ds.edge_df = splits["train"]
+    return ds, splits

@@ -87,3 +87,21 @@ def knn_classifier(
     probs = np.sum(onehot * w, axis=1)
     pred = np.argmax(probs, axis=1)
     return float(np.mean(pred == test_labels))
+
+
+def embedding_plot_coords(embeds, method: str = "auto", seed: int = 42):
+    """2-D coordinates for embedding scatter plots (the reference draws
+    UMAP plots per modality -- eval_utils.py:389-597 draw_umap_plot).
+    Uses umap-learn when installed, else a PCA fallback."""
+    x = np.asarray(embeds, np.float64)
+    if method in ("auto", "umap"):
+        try:
+            from umap import UMAP
+
+            return UMAP(random_state=seed).fit_transform(x), "umap"
+        except ImportError:
+            if method == "umap":
+                raise
+    xc = x - x.mean(0)
+    _, _, vt = np.linalg.svd(xc, full_matrices=False)
+    return xc @ vt[:2].T, "pca"

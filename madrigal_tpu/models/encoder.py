@@ -237,6 +237,7 @@ class MadrigalEncoder(nn.Module):
         *,
         train: bool = False,
         raw_encoder_output: bool = False,
+        return_attention: bool = False,
     ):
         """Fused drug embedding z [B, D].
 
@@ -264,6 +265,7 @@ class MadrigalEncoder(nn.Module):
         if c.adapt_before_fusion:
             all_embeds = self.uni_projector(all_embeds, train=train)
 
+        attn = None
         if c.fusion in ("transformer_uni_proj", "transformer"):
             seq = all_embeds
             fusion_mask = masks
@@ -301,9 +303,18 @@ class MadrigalEncoder(nn.Module):
             if c.normalize:
                 seq = seq / jnp.linalg.norm(seq, axis=-1, keepdims=True)
             seq = self.pos_encoder(seq, train=train)
-            z_fusion = self.transformer(
-                seq, fusion_mask, src_mask, train=train
-            )
+            if return_attention:
+                # last-layer attention weights for analysis (the reference
+                # captures them via forward hooks -- predict.py:643,
+                # models.py:388-399)
+                z_fusion, attn = self.transformer(
+                    seq, fusion_mask, src_mask, train=train,
+                    return_last_attn=True,
+                )
+            else:
+                z_fusion = self.transformer(
+                    seq, fusion_mask, src_mask, train=train
+                )
 
             if c.fusion == "transformer_uni_proj":
                 avail = (~masks).astype(all_embeds.dtype)
@@ -332,6 +343,8 @@ class MadrigalEncoder(nn.Module):
         else:
             raise NotImplementedError(c.fusion)
 
+        if return_attention:
+            return z, attn
         return z
 
 

@@ -472,3 +472,25 @@ class ChemCPAAdaptTrainer:
 
     def encoder_variables(self):
         return self._vars
+
+
+def evaluate_r2_tx_adapting(trainer: "ChemCPAAdaptTrainer", genes, cov_idx,
+                            drugs_idx=None, dosages=None) -> float:
+    """Uniform-average R2 of the reconstructed means against the true
+    signatures (reference: chemCPA/train.py:242-265
+    evaluate_r2_tx_adapting)."""
+    import numpy as np
+
+    mean, _ = trainer.model.apply(
+        trainer._vars, jnp.asarray(genes), jnp.asarray(cov_idx),
+        None if drugs_idx is None else jnp.asarray(drugs_idx),
+        None if dosages is None else jnp.asarray(dosages),
+        train=False, method=type(trainer.model).reconstruct,
+    )
+    y_true = np.asarray(genes)
+    y_pred = np.clip(np.asarray(mean), -3e12, 3e12)
+    ss_res = ((y_true - y_pred) ** 2).sum(axis=0)
+    ss_tot = ((y_true - y_true.mean(axis=0)) ** 2).sum(axis=0)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        r2 = 1.0 - ss_res / ss_tot
+    return float(np.nanmean(r2))

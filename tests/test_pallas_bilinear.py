@@ -1,0 +1,41 @@
+"""Pallas bilinear scorer: parity with the XLA path (interpret mode on CPU;
+the compiled kernel runs in bench/TPU environments)."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from madrigal_tpu.ops.bilinear_pallas import (
+    bilinear_scores_pallas,
+    bilinear_scores_xla,
+)
+
+
+def test_pallas_matches_xla_interpret(rng):
+    L, D, M, N = 3, 128, 256, 1024
+    z1 = rng.randn(M, D).astype(np.float32)
+    z2 = rng.randn(N, D).astype(np.float32)
+    w = rng.randn(L, D, D).astype(np.float32)
+    ref = np.asarray(bilinear_scores_xla(z1, z2, w, out_dtype=jnp.float32,
+                                         compute_dtype=jnp.float32))
+    out = np.asarray(bilinear_scores_pallas(
+        z1, z2, w, tile_m=128, tile_n=256, out_dtype=jnp.float32,
+        compute_dtype=jnp.float32, interpret=True,
+    ))
+    np.testing.assert_allclose(out, ref, atol=1e-3, rtol=1e-3)
+
+
+def test_pallas_padding_roundtrip(rng):
+    """Non-tile-multiple N: padded compute, sliced back."""
+    L, D = 2, 128
+    z = rng.randn(300, D).astype(np.float32)  # not a multiple of tiles
+    w = rng.randn(L, D, D).astype(np.float32)
+    ref = np.asarray(bilinear_scores_xla(z, z, w, out_dtype=jnp.float32,
+                                         compute_dtype=jnp.float32))
+    out = np.asarray(bilinear_scores_pallas(
+        z, z, w, tile_m=128, tile_n=128, out_dtype=jnp.float32,
+        compute_dtype=jnp.float32, interpret=True,
+    ))
+    assert out.shape == ref.shape == (L, 300, 300)
+    np.testing.assert_allclose(out, ref, atol=1e-3, rtol=1e-3)
