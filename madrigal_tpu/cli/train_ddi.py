@@ -61,6 +61,25 @@ def main(argv=None):
     mlog = MetricLogger(args.save_dir, run_name="train_ddi")
 
     ds, coll = load_data(args)
+    if args.all_train:
+        if args.data_dir and not args.synthetic:
+            from ..data.datasets import load_reference_all_train
+
+            ds = load_reference_all_train(args.data_dir)
+        else:
+            from ..data.synthetic import make_split_dataset
+            from ..data.datasets import union_edge_tables
+
+            ds, splits = make_split_dataset(
+                num_drugs=args.synthetic_drugs,
+                num_labels=args.synthetic_labels,
+                num_edges=args.synthetic_edges,
+                split_method="split_by_pairs", seed=args.seed,
+            )
+            ds.edge_df = union_edge_tables(list(splits.values()))
+        from ..data.collate import DDICollator
+
+        coll = DDICollator(ds, split="train", seed=args.seed)
     cfg = TrainConfig(seed=args.seed, finetune_mode=args.finetune_mode)
     cfg = apply_overrides(cfg, args)
     for field in ("num_epochs", "warmup_epochs", "evaluate_interval"):

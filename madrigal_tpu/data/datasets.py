@@ -234,3 +234,37 @@ def export_synthetic_as_reference_layout(ds: SyntheticDataset, root: str,
                            split_method)
     os.makedirs(ddi_dir, exist_ok=True)
     ds.edge_df.to_csv(os.path.join(ddi_dir, "train_df.csv"), index=False)
+
+
+def union_edge_tables(tables) -> "object":
+    """Concatenate split edge tables for all-train scoring runs
+    (reference LongDDIDatasetAllTrain, data.py:654-694: train+val+test of
+    split_by_pairs, whose negative-sampling scheme matches train)."""
+    import pandas as pd
+
+    keep_cols = ["head", "tail", "label_indexed", "neg_head", "neg_tail"]
+    frames = [t[keep_cols] for t in tables if all(
+        c in t.columns for c in keep_cols)]
+    return pd.concat(frames, axis=0, ignore_index=True)
+
+
+def load_reference_all_train(root: str, data_source: str = "TWOSIDES",
+                             **kw) -> SyntheticDataset:
+    """All-train dataset: union of train/val/test edges over
+    split_by_pairs (the reference's all-train entry uses exactly this
+    layout, train_ddi_batch_all_train.py)."""
+    ds = load_reference_dataset(root, data_source,
+                                split_method="split_by_pairs",
+                                split="train", **kw)
+    import os as _os
+    import pandas as pd
+
+    tables = [ds.edge_df]
+    base = _os.path.join(root, "polypharmacy_new", data_source,
+                         "split_by_pairs")
+    for split in ("val", "test"):
+        p = _os.path.join(base, f"{split}_df.csv")
+        if _os.path.exists(p):
+            tables.append(pd.read_csv(p))
+    ds.edge_df = union_edge_tables(tables)
+    return ds

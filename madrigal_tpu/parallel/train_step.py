@@ -1,0 +1,88 @@
+"""Sharded training utilities.
+
+Places a FinetuneTrainer's state and batch onto a ('dp', 'label') device
+mesh: DDI triple arrays shard over 'dp' (data parallel -- the reference's
+scaling axis is the pair list, SURVEY.md section 5 long-context note), the
+bilinear decoder weight [L, D, D] shards over 'label' (tensor parallel on
+the outcome axis), encoder weights and the KG replicate. XLA/GSPMD inserts
+the psum for decoder-weight gradients and the all-gathers for the
+replicated encoders automatically.
+
+Used by __graft_entry__.dryrun_multichip and by users scaling full-batch
+finetuning beyond one chip.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_train_mesh(n_devices: Optional[int] = None,
+                    label_dim: Optional[int] = None) -> Mesh:
+    devices = jax.devices()[: n_devices or len(jax.devices())]
+    n = len(devices)
+    if label_dim is None:
+        label_dim = 2 if n % 2 == 0 and n > 1 else 1
+    dp = n // label_dim
+    return Mesh(np.asarray(devices).reshape(dp, label_dim), ("dp", "label"))
+
+
+def shard_finetune_trainer(trainer, mesh: Mesh):
+    """Re-place an existing FinetuneTrainer onto `mesh` (in place).
+
+    Requirements: the padded triple count must divide mesh.shape['dp'] and
+    the label count must divide mesh.shape['label'] (use the collator's
+    pair_budget to round up).
+    """
+    from ..train.finetune import TrainState
+
+    rep = NamedSharding(mesh, P())
+    dp = NamedSharding(mesh, P("dp"))
+
+    T = int(trainer.batch.labels.shape[0])
+    if T % mesh.shape["dp"] != 0:
+        raise ValueError(
+            f"triple count {T} must divide dp={mesh.shape['dp']}; "
+            "collate with a pair_budget rounded to a dp multiple"
+        )
+    L = trainer.cfg.model.prediction_dim
+    if L % mesh.shape["label"] != 0:
+        raise ValueError(
+            f"label count {L} must divide label={mesh.shape['label']}"
+        )
+
+    def place_params(path, x):
+        keys = [getattr(k, "key", None) for k in path]
+        if keys[:2] == ["decoder", "weight"]:
+            return jax.device_put(x, NamedSharding(mesh, P("label")))
+        return jax.device_put(x, rep)
+
+    params = jax.tree_util.tree_map_with_path(
+        place_params, trainer.state.params
+    )
+    trainer.state = TrainState(
+        params=params,
+        batch_stats=jax.device_put(trainer.state.batch_stats, rep),
+        opt_state=jax.device_put(trainer.state.opt_state, rep),
+        epoch=trainer.state.epoch,
+    )
+    trainer.batch = dataclasses.replace(
+        trainer.batch,
+        head=jax.device_put(trainer.batch.head, rep),
+        tail=jax.device_put(trainer.batch.tail, rep),
+        head_idx=jax.device_put(trainer.batch.head_idx, dp),
+        tail_idx=jax.device_put(trainer.batch.tail_idx, dp),
+        labels=jax.device_put(trainer.batch.labels, dp),
+        pos_neg=jax.device_put(trainer.batch.pos_neg, dp),
+        mask=jax.device_put(trainer.batch.mask, dp),
+    )
+    trainer.kg = jax.device_put(trainer.kg, rep)
+    trainer.w_all = jax.device_put(trainer.w_all, dp)
+    trainer.w_directed = jax.device_put(trainer.w_directed, dp)
+    trainer._step = jax.jit(trainer._make_step(), donate_argnums=(0,))
+    trainer.mesh = mesh
+    return trainer

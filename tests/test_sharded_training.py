@@ -1,0 +1,86 @@
+"""Sharded training on the 8-virtual-device mesh: dp x label finetune step
+matches the single-device step numerically."""
+import dataclasses
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from madrigal_tpu.config import (
+    ChemCPAConfig,
+    EncoderConfig,
+    FusionConfig,
+    GINConfig,
+    HGTConfig,
+    MLPEncoderConfig,
+    ModelConfig,
+    OptimizerConfig,
+    ProjectorConfig,
+    TrainConfig,
+)
+from madrigal_tpu.data.collate import DDICollator
+from madrigal_tpu.data.synthetic import make_dataset
+from madrigal_tpu.parallel.train_step import (
+    make_train_mesh,
+    shard_finetune_trainer,
+)
+from madrigal_tpu.train.finetune import FinetuneTrainer
+
+
+def tiny_cfg(num_labels):
+    enc = EncoderConfig(
+        feature_dim=16,
+        gin=GINConfig(hidden_dims=(16, 16), num_mlp_layer=2),
+        hgt=HGTConfig(hidden_dim=8, num_layers=2, att_heads=2),
+        cv=MLPEncoderConfig(hidden_dims=(32, 16)),
+        chemcpa=ChemCPAConfig(dim=16, autoencoder_width=32,
+                              autoencoder_depth=1),
+        transformer=FusionConfig(num_layers=1, att_heads=2, head_dim=8,
+                                 ffn_dim=32, dropout=0.0, norm_first=True,
+                                 agg="x-attn", num_tx_bottlenecks=2),
+        proj=ProjectorConfig(hidden_dims=(32, 32)),
+        pos_emb_type="sinusoidal",
+    )
+    return TrainConfig(
+        model=ModelConfig(encoder=enc, prediction_dim=num_labels),
+        optim=OptimizerConfig(),
+        finetune_mode="full_full",  # deterministic masks -> exact compare
+        num_epochs=10, warmup_epochs=2, seed=0,
+    )
+
+
+def test_sharded_step_matches_single_device():
+    ds = make_dataset(num_drugs=12, num_labels=8, num_edges=20, seed=21)
+    # pair budget divisible by dp=4
+    T = 6 * 20
+    budget = ((T + 3) // 4) * 4
+    batch, kg = DDICollator(ds, split="train", pair_budget=budget)()
+
+    t1 = FinetuneTrainer(tiny_cfg(8), batch, kg)
+    losses_single = t1.train_epoch()
+
+    t2 = FinetuneTrainer(tiny_cfg(8), batch, kg)
+    mesh = make_train_mesh(8, label_dim=2)
+    assert mesh.shape == {"dp": 4, "label": 2}
+    shard_finetune_trainer(t2, mesh)
+    with mesh:
+        losses_sharded = t2.train_epoch()
+
+    assert abs(losses_single["total"] - losses_sharded["total"]) < 1e-4
+
+    # params after one step agree
+    p1 = jax.tree_util.tree_leaves(t1.state.params)
+    p2 = jax.tree_util.tree_leaves(t2.state.params)
+    for a, b in zip(p1, p2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+
+def test_sharded_trainer_validates_divisibility():
+    ds = make_dataset(num_drugs=12, num_labels=7, num_edges=21, seed=22)
+    batch, kg = DDICollator(ds, split="train")()
+    trainer = FinetuneTrainer(tiny_cfg(7), batch, kg)
+    mesh = make_train_mesh(8, label_dim=2)
+    with pytest.raises(ValueError):
+        shard_finetune_trainer(trainer, mesh)
