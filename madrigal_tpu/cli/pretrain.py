@@ -28,6 +28,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--num_steps", type=int, default=100)
     p.add_argument("--batch_size", type=int, default=None)
     p.add_argument("--save_checkpoints", type=int, default=None)
+    p.add_argument("--resume", type=str, default=None,
+                   help="checkpoint path to resume from (restores params,\n"
+                        "batch stats, optimizer state and step count)")
     return p
 
 
@@ -35,7 +38,9 @@ def main(argv=None):
     args = build_parser().parse_args(argv)
     setup_platform(args)
 
-    from ..train.checkpoint import save_checkpoint
+    from ..train.checkpoint import (
+        check_finite_loss, load_checkpoint, restore_into, save_checkpoint,
+    )
     from ..train.pretrain_cl import CLPretrainer
     from ..utils.logging import MetricLogger, get_root_logger
 
@@ -60,8 +65,24 @@ def main(argv=None):
 
     kg = coll.kg_batch()
     trainer = CLPretrainer(cfg, coll, kg)
-    for step in range(args.num_steps):
-        loss = trainer.train_step()
+    start_step = 0
+    if args.resume:
+        import dataclasses as _dc
+
+        tree, meta = load_checkpoint(args.resume)
+        trainer.state = _dc.replace(
+            trainer.state,
+            params=tree["params"],
+            batch_stats=tree.get("batch_stats", {}),
+            opt_state=(restore_into(trainer.state.opt_state,
+                                    tree["opt_state"])
+                       if "opt_state" in tree and tree["opt_state"]
+                       is not None else trainer.state.opt_state),
+        )
+        start_step = meta["epoch"]
+        logger.info(f"resumed from {args.resume} at step {start_step}")
+    for step in range(start_step, args.num_steps):
+        loss = check_finite_loss(trainer.train_step(), "cl")
         mlog.log({"cl_loss": loss}, step=step)
         if step % 10 == 0:
             logger.info(f"step {step}: infonce={loss:.4f}")
@@ -69,13 +90,13 @@ def main(argv=None):
             save_checkpoint(
                 os.path.join(args.save_dir, f"cl_checkpoint_{step}"),
                 trainer.state.params, trainer.state.batch_stats, cfg,
-                epoch=step,
+                epoch=step, opt_state=trainer.state.opt_state,
             )
 
     save_checkpoint(
         os.path.join(args.save_dir, "cl_last"),
         trainer.state.params, trainer.state.batch_stats, cfg,
-        epoch=args.num_steps,
+        epoch=args.num_steps, opt_state=trainer.state.opt_state,
     )
     logger.info("done")
     mlog.finish()

@@ -119,8 +119,10 @@ def main(argv=None):
                           logger=logger)
     best_key = -1e8
     best_epoch = None
+    from ..train.checkpoint import check_finite_loss
+
     for epoch in range(cfg.num_epochs):
-        losses = trainer.train_epoch()
+        losses = check_finite_loss(trainer.train_epoch())
         mlog.log({f"train_{k}": v for k, v in losses.items()}, step=epoch)
         logger.info(f"epoch {epoch + 1}/{cfg.num_epochs}: "
                     f"loss={losses['total']:.4f}")

@@ -1,0 +1,250 @@
+"""Full reference-checkpoint conversion.
+
+Converts a trained reference Madrigal checkpoint (torch state_dict from
+NovelDDIMultilabel / NovelDDIEncoder -- reference: train_ddi_batch.py:
+393-412 finetune format, pretrain.py:230-236 CL format, utils.py:246-307
+key filtering) into this framework's parameter tree, composing the
+component converters in torch_convert.py:
+
+  encoder.str_encoder.*        torchdrug GIN         (exact; verified
+                                                      against the released
+                                                      GIN_256x4_muv.pt)
+  encoder.cv_encoder.*         MLPEncoder            (exact)
+  encoder.tx_encoder.*         chemCPA               (exact)
+  encoder.transformer.*        TransformerFusion     (exact; pure torch)
+  encoder.uni_projector/fuser  MLPAdaptor            (exact)
+  encoder.pos_encoder.pe       learnable PE          (exact)
+  encoder.cls / tx_bottleneck_tokens                 (exact)
+  decoder.parametrizations.weight.original           (exact; our stored
+                                                      weight symmetrizes
+                                                      identically)
+  encoder.kg_encoder.*         PyG HGTConv           (best effort: PyG's
+                                                      internal layout varies
+                                                      by version -- the
+                                                      'pyg23' mapping below
+                                                      documents the assumed
+                                                      2.3.x layout; verify
+                                                      numerics against your
+                                                      install before use)
+
+Missing modules (e.g. fusion dropped by the CL->finetune filter) keep
+their fresh initialization, mirroring load_state_dict(strict=False).
+"""
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from .torch_convert import (
+    _dense,
+    _ln,
+    _np,
+    convert_chemcpa_mlp,
+    convert_gin,
+    convert_mlp_encoder,
+    convert_transformer_fusion,
+    filter_prefix,
+)
+
+
+def convert_hgt_pyg23(sd: Dict, node_types, edge_types, num_layers: int,
+                      heads: int, hidden: int) -> dict:
+    """PyG 2.3.x HGTConv state_dict -> our HGTEncoder params.
+
+    Assumed torch layout per conv i:
+      convs.{i}.kqv_lin.lins.{nt}.weight [3F, in], .bias [3F]
+      convs.{i}.out_lin.lins.{nt}.weight [F, F], .bias [F]
+      convs.{i}.k_rel.weight [R*H, D, D] (HeteroLinear; type index =
+          edge_type_index * heads + head), convs.{i}.v_rel.weight likewise
+      convs.{i}.skip.{nt} [1]
+      convs.{i}.p_rel.{'__'.join(edge_type)} [1, H]
+      lin_dict.{nt}.weight/bias (output head)
+    Raises KeyError listing what is missing when the layout differs.
+    """
+    from ..data.kg import edge_key
+
+    D = hidden // heads
+    params: dict = {}
+    missing: List[str] = []
+
+    def grab(key):
+        if key not in sd:
+            missing.append(key)
+            return None
+        return _np(sd[key])
+
+    for i in range(num_layers):
+        layer: dict = {}
+        for nt in node_types:
+            w = grab(f"convs.{i}.kqv_lin.lins.{nt}.weight")
+            b = grab(f"convs.{i}.kqv_lin.lins.{nt}.bias")
+            if w is not None:
+                layer[f"kqv__{nt}"] = {"kernel": w.T,
+                                       "bias": b if b is not None else
+                                       np.zeros(w.shape[0], np.float32)}
+            w = grab(f"convs.{i}.out_lin.lins.{nt}.weight")
+            b = grab(f"convs.{i}.out_lin.lins.{nt}.bias")
+            if w is not None:
+                layer[f"out__{nt}"] = {"kernel": w.T,
+                                       "bias": b if b is not None else
+                                       np.zeros(w.shape[0], np.float32)}
+            s = grab(f"convs.{i}.skip.{nt}")
+            if s is not None:
+                layer[f"skip__{nt}"] = s.reshape(1)
+        k_rel = grab(f"convs.{i}.k_rel.weight")
+        v_rel = grab(f"convs.{i}.v_rel.weight")
+        for ei, et in enumerate(edge_types):
+            ek = edge_key(tuple(et))
+            if k_rel is not None:
+                layer[f"k_rel__{ek}"] = k_rel[ei * heads:(ei + 1) * heads]
+            if v_rel is not None:
+                layer[f"v_rel__{ek}"] = v_rel[ei * heads:(ei + 1) * heads]
+            p = grab(f"convs.{i}.p_rel.{'__'.join(et)}")
+            if p is not None:
+                layer[f"p_rel__{ek}"] = p.reshape(-1)
+        params[f"conv_{i}"] = layer
+    for nt in node_types:
+        w = grab(f"lin_dict.{nt}.weight")
+        b = grab(f"lin_dict.{nt}.bias")
+        if w is not None and nt == "drug":
+            params["lin__drug"] = {"kernel": w.T, "bias": b}
+    if missing:
+        raise KeyError(
+            "PyG HGT layout mismatch; missing keys (first 10): "
+            f"{missing[:10]} -- adapt convert_hgt_pyg23 to your PyG version"
+        )
+    return params
+
+
+def convert_reference_encoder(
+    sd: Dict,
+    enc_cfg,
+    kg_metadata=None,
+    strict_kg: bool = False,
+) -> Tuple[dict, dict]:
+    """NovelDDIEncoder state_dict (prefixes already stripped of
+    'base_encoder.' / 'encoder.') -> (params, batch_stats) overlays."""
+    params: dict = {}
+    stats: dict = {}
+
+    if any(k.startswith("str_encoder.") for k in sd):
+        sub = filter_prefix(sd, "str_encoder")
+        n_layers = len(tuple(enc_cfg.gin.hidden_dims)) + 1
+        p, s = convert_gin(sub, num_layers=n_layers,
+                           num_mlp_layer=enc_cfg.gin.num_mlp_layer)
+        params["str_encoder"] = p
+        if s:
+            stats["str_encoder"] = s
+
+    if any(k.startswith("cv_encoder.") for k in sd):
+        sub = filter_prefix(sd, "cv_encoder")
+        p, s = convert_mlp_encoder(sub, tuple(enc_cfg.cv.hidden_dims),
+                                   enc_cfg.cv.dropout, enc_cfg.cv.norm)
+        params["cv_encoder"] = p
+        if s:
+            stats["cv_encoder"] = s
+
+    if any(k.startswith("tx_encoder.") for k in sd):
+        from .torch_convert import convert_chemcpa
+
+        sub = filter_prefix(sd, "tx_encoder")
+        cov_key = "covariates_embeddings.0.weight"
+        if cov_key in sub:
+            c = enc_cfg.chemcpa
+            p, s = convert_chemcpa(
+                sub, sub[cov_key], encoder_depth=c.autoencoder_depth,
+                embedding_encoder_depth=c.embedding_encoder_depth,
+                dosers_depth=c.dosers_depth, use_drugs=c.use_drugs,
+                doser_type=c.doser_type,
+                drug_embedding_weight=sub.get("drug_embeddings.weight"),
+            )
+            params["tx_encoder"] = p
+            if s:
+                stats["tx_encoder"] = s
+
+    if any(k.startswith("kg_encoder.") for k in sd):
+        if kg_metadata is None:
+            if strict_kg:
+                raise ValueError("kg_metadata required for KG conversion")
+        else:
+            sub = filter_prefix(sd, "kg_encoder")
+            try:
+                params["kg_encoder"] = convert_hgt_pyg23(
+                    sub, kg_metadata.node_types, kg_metadata.edge_types,
+                    enc_cfg.hgt.num_layers, enc_cfg.hgt.att_heads,
+                    enc_cfg.hgt.hidden_dim,
+                )
+            except KeyError:
+                if strict_kg:
+                    raise
+
+    if any(k.startswith("transformer.") for k in sd):
+        sub = filter_prefix(sd, "transformer")
+        params["transformer"] = convert_transformer_fusion(
+            sub, enc_cfg.transformer.num_layers, enc_cfg.transformer.agg
+        )
+
+    for name in ("uni_projector", "uni_fuser"):
+        if any(k.startswith(name + ".") for k in sd):
+            sub = filter_prefix(sd, name)
+            p, s = convert_mlp_encoder(
+                sub, tuple(enc_cfg.proj.hidden_dims), enc_cfg.proj.dropout,
+                enc_cfg.proj.norm,
+            )
+            params[name] = p
+            if s:
+                stats[name] = s
+
+    if "pos_encoder.pe" in sd:
+        params["pos_encoder"] = {"pe": _np(sd["pos_encoder.pe"])}
+    if "tx_bottleneck_tokens" in sd:
+        params["tx_bottleneck_tokens"] = _np(sd["tx_bottleneck_tokens"])
+    if "cls" in sd:
+        params["cls"] = _np(sd["cls"])
+
+    return params, stats
+
+
+def convert_reference_finetune_checkpoint(
+    state_dict: Dict, enc_cfg, kg_metadata=None, strict_kg: bool = False,
+) -> Tuple[dict, dict]:
+    """Full NovelDDIMultilabel state_dict -> (params, batch_stats).
+
+    Handles the 'encoder.' prefix and the decoder's parametrized weight
+    (decoder.parametrizations.weight.original; reference models.py:922 --
+    our stored weight symmetrizes identically at apply time)."""
+    enc_sd = filter_prefix(state_dict, "encoder")
+    params, stats = convert_reference_encoder(
+        enc_sd, enc_cfg, kg_metadata, strict_kg
+    )
+    out_params = {"encoder": params}
+    out_stats = {"encoder": stats} if stats else {}
+
+    for key in ("decoder.parametrizations.weight.original",
+                "decoder.weight"):
+        if key in state_dict:
+            out_params["decoder"] = {"weight": _np(state_dict[key])}
+            break
+    return out_params, out_stats
+
+
+def convert_reference_cl_checkpoint(
+    state_dict: Dict, enc_cfg, kg_metadata=None,
+    use_pretrained_adaptor: bool = False,
+) -> Tuple[dict, dict]:
+    """CL checkpoint (base_encoder.* keys) with the reference's
+    finetune-transfer filter applied (utils.py:281-296): keep encoders,
+    drop fusion / pos-enc / CLS / bottlenecks (and optionally the
+    adaptor)."""
+    sd = filter_prefix(state_dict, "base_encoder")
+    drop_prefixes = ["head.", "pos_encoder.", "transformer."]
+    drop_exact = {"tx_bottleneck_tokens", "cls"}
+    if not use_pretrained_adaptor:
+        drop_prefixes.append("uni_projector.")
+    kept = {
+        k: v for k, v in sd.items()
+        if k not in drop_exact
+        and not any(k.startswith(p) for p in drop_prefixes)
+    }
+    return convert_reference_encoder(kept, enc_cfg, kg_metadata)

@@ -101,3 +101,68 @@ def merge_params(init_params: dict, loaded: dict) -> dict:
         return b
 
     return merge(init_params, loaded)
+
+
+class EarlyStopping:
+    """Patience-based early stopping on a maximized score
+    (reference: chemCPA/model.py:714-727)."""
+
+    def __init__(self, patience: int = 5):
+        self.patience = patience
+        self.best_score = -1e3
+        self.trials = 0
+
+    def __call__(self, score: Optional[float]) -> bool:
+        if score is None:
+            return False
+        if score > self.best_score:
+            self.best_score = score
+            self.trials = 0
+        else:
+            self.trials += 1
+        return self.trials > self.patience
+
+
+def check_finite_loss(losses, context: str = "train"):
+    """NaN-loss failure detection (the reference aborts chemCPA training on
+    NaN reconstruction loss -- experiments_run.py:336-343; elsewhere NaNs
+    propagate silently). Raises FloatingPointError with the offending keys.
+    """
+    import math
+
+    if isinstance(losses, dict):
+        bad = [k for k, v in losses.items() if not math.isfinite(float(v))]
+        if bad:
+            raise FloatingPointError(
+                f"non-finite {context} loss in {bad}: "
+                f"{ {k: float(losses[k]) for k in bad} }"
+            )
+    else:
+        if not math.isfinite(float(losses)):
+            raise FloatingPointError(f"non-finite {context} loss: {losses}")
+    return losses
+
+
+def restore_into(template, restored):
+    """Re-impose `template`'s pytree structure (namedtuples, custom nodes)
+    onto an orbax-restored plain-dict tree: orbax serializes optax states
+    as nested dicts, so optimizer-state resume needs the original
+    structure back. Validates per-leaf shapes.
+    """
+    import jax
+
+    t_leaves, t_def = jax.tree_util.tree_flatten(template)
+    r_leaves = jax.tree_util.tree_leaves(restored)
+    if len(t_leaves) != len(r_leaves):
+        raise ValueError(
+            f"leaf count mismatch: template {len(t_leaves)} vs "
+            f"restored {len(r_leaves)}"
+        )
+    out = []
+    for t, r in zip(t_leaves, r_leaves):
+        ts = getattr(t, "shape", None)
+        rs = getattr(r, "shape", None)
+        if ts != rs:
+            raise ValueError(f"leaf shape mismatch: {ts} vs {rs}")
+        out.append(r)
+    return jax.tree_util.tree_unflatten(t_def, out)
