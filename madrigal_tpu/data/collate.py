@@ -95,6 +95,10 @@ class DDICollator:
             edge_budget=self.edge_budget,
         )
         masks = ds.masks[drug_ids]
+        extra = {
+            mod: jnp.asarray(tab[drug_ids])
+            for mod, tab in getattr(ds, "extra_tabular", {}).items()
+        }
         return DrugModalityBatch(
             drugs=jnp.asarray(drug_ids.astype(np.int32)),
             mols=mols,
@@ -103,6 +107,7 @@ class DDICollator:
             tx_sigs=jnp.asarray(ds.tx_table[:, drug_ids]),
             tx_dosages=jnp.asarray(ds.tx_dosages[:, drug_ids]),
             masks=jnp.asarray(masks),
+            extra_tabular=extra,
         )
 
     def kg_batch(self, **kw) -> HeteroKGBatch:

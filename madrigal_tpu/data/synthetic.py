@@ -20,6 +20,7 @@ from ..constants import (
     CELL_LINES,
     CV_INPUT_DIM,
     MOL_DIM,
+    NON_TX_MODALITIES,
     NUM_CELL_LINES,
     NUM_MODALITIES,
     NUM_NON_TX_MODALITIES,
@@ -40,6 +41,9 @@ class SyntheticDataset:
     kg_edge_indices: Dict[tuple, np.ndarray]
     kg_drug_ids: np.ndarray  # global drug id per KG drug-node row
     edge_df: "object"  # pandas DataFrame: head, tail, label_indexed, neg_*
+    extra_tabular: dict = dataclasses.field(default_factory=dict)
+    # extra non-tx tabular modality tables ({'bs': [num_drugs, dim], ...};
+    # active when NON_TX_MODALITIES env includes them -- utils.py:30-37)
 
     @property
     def masks(self) -> np.ndarray:
@@ -79,6 +83,7 @@ def make_dataset(
     kg_feat_dim: int = 24,
     kg_drug_fraction: float = 0.8,
     seed: int = 0,
+    extra_tabular_dims: dict = None,
 ) -> SyntheticDataset:
     import pandas as pd
 
@@ -97,6 +102,13 @@ def make_dataset(
     mod_avail[:, 0] = 1
     mod_avail[kg_drug_ids, 1] = 1
     mod_avail[:, 2] = rng.rand(num_drugs) < 0.6
+    extra_tabular = {}
+    for j, mod in enumerate(NON_TX_MODALITIES[3:], start=3):
+        mod_avail[:, j] = rng.rand(num_drugs) < 0.5
+        dim = (extra_tabular_dims or {}).get(mod, 64)
+        tab = rng.randn(num_drugs, dim).astype(np.float32)
+        tab[mod_avail[:, j] == 0] = 0.0
+        extra_tabular[mod] = tab
     for c in range(NUM_CELL_LINES):
         mod_avail[:, NUM_NON_TX_MODALITIES + c] = rng.rand(num_drugs) < 0.3
 
@@ -182,6 +194,7 @@ def make_dataset(
         kg_edge_indices=kg_edge_indices,
         kg_drug_ids=kg_drug_ids,
         edge_df=edge_df,
+        extra_tabular=extra_tabular,
     )
 
 

@@ -59,11 +59,17 @@ def _direction_arrays(split: str, eval_type: str, batch: DDIBatch):
         return hi, ti, lb, pn, keep
     if base in ("val", "test", "within") and "between" not in split and \
             eval_type.split("_")[0] != eval_type.split("_")[1]:
-        # undirect: score both directions (requires head/tail stores to be
-        # the same drug set, as in the reference's val batches)
-        hi2 = np.concatenate([hi, ti])
-        ti2 = np.concatenate([ti, hi])
-        return hi2, ti2, np.tile(lb, 2), np.tile(pn, 2), np.tile(m, 2)
+        # undirect: score both directions. The reference swaps the inverse
+        # indices directly (evaluate.py:166), which is only meaningful when
+        # the unique head and tail stores coincide; guard that precondition
+        # instead of silently mis-indexing.
+        heads_store = np.asarray(batch.head.drugs)
+        tails_store = np.asarray(batch.tail.drugs)
+        if heads_store.shape == tails_store.shape and np.array_equal(
+                heads_store, tails_store):
+            hi2 = np.concatenate([hi, ti])
+            ti2 = np.concatenate([ti, hi])
+            return hi2, ti2, np.tile(lb, 2), np.tile(pn, 2), np.tile(m, 2)
     return hi, ti, lb, pn, m
 
 
