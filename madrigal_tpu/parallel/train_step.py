@@ -86,3 +86,36 @@ def shard_finetune_trainer(trainer, mesh: Mesh):
     trainer._step = jax.jit(trainer._make_step(), donate_argnums=(0,))
     trainer.mesh = mesh
     return trainer
+
+
+def shard_cl_pretrainer(trainer, mesh: Mesh):
+    """Data-parallel CL pretraining: replicate params/KG, shard the drug
+    batch over 'dp'. The InfoNCE similarity matrix is global over the
+    batch, so XLA inserts the all-gather of projected views automatically.
+
+    Requires pretrain_batch_size divisible by mesh.shape['dp'].
+    """
+    rep = NamedSharding(mesh, P())
+
+    if trainer.batch_size % mesh.shape["dp"] != 0:
+        raise ValueError(
+            f"pretrain batch {trainer.batch_size} must divide "
+            f"dp={mesh.shape['dp']}"
+        )
+
+    trainer.state = jax.device_put(trainer.state, rep)
+    trainer.kg = jax.device_put(trainer.kg, rep)
+
+    dp = NamedSharding(mesh, P("dp"))
+    orig_step = trainer._step
+
+    def sharded_step(state, batch, m1, m2, rng):
+        batch = jax.device_put(batch, dp)
+        m1 = jax.device_put(m1, dp)
+        m2 = jax.device_put(m2, dp)
+        with mesh:
+            return orig_step(state, batch, m1, m2, rng)
+
+    trainer._step = sharded_step
+    trainer.mesh = mesh
+    return trainer

@@ -84,3 +84,31 @@ def test_sharded_trainer_validates_divisibility():
     mesh = make_train_mesh(8, label_dim=2)
     with pytest.raises(ValueError):
         shard_finetune_trainer(trainer, mesh)
+
+
+@pytest.mark.slow
+def test_sharded_cl_pretrain_matches_single_device():
+    from madrigal_tpu.config import PretrainConfig
+    from madrigal_tpu.parallel.train_step import shard_cl_pretrainer
+    from madrigal_tpu.train.pretrain_cl import CLPretrainer
+    from jax.sharding import Mesh
+
+    ds = make_dataset(num_drugs=16, num_labels=4, num_edges=16, seed=23)
+    coll = DDICollator(ds, split="train")
+    kg = coll.kg_batch()
+    enc = tiny_cfg(4).model.encoder
+    cfg = PretrainConfig(
+        encoder=enc, pretrain_mode="str_center_uni",
+        pretrain_unbalanced=True, raw_encoder_output=True,
+        pretrain_batch_size=8, pretrain_num_epochs=10, warmup_epochs=1,
+        pretrain_lr=1e-3, seed=3,
+    )
+    t1 = CLPretrainer(cfg, coll, kg)
+    l1 = t1.train_step()
+
+    t2 = CLPretrainer(cfg, coll, kg)
+    mesh = Mesh(np.asarray(jax.devices()[:8]).reshape(8, 1)[:, 0], ("dp",))
+    shard_cl_pretrainer(t2, mesh)
+    l2 = t2.train_step()
+    # same rng stream + same data order -> identical loss
+    assert abs(l1 - l2) < 1e-4, (l1, l2)
