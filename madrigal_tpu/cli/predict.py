@@ -32,6 +32,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--triples", type=str, nargs="*", default=[],
                    metavar="L:A:B", help="outcome:drugA:drugB queries")
     p.add_argument("--label_chunk", type=int, default=32)
+    p.add_argument("--eval_type", type=str, default=None,
+                   help="modality eval type for embeddings, e.g. str_full, str+tx_full (head side applies to all drugs)")
+    p.add_argument("--finetune_mode", type=str,
+                   default="str_random_sample")
     p.add_argument("--sharded", action="store_true",
                    help="label-shard the rank tensor over all devices")
     return p
@@ -59,7 +63,16 @@ def main(argv=None):
     model, variables, cfg = model_from_checkpoint(args.checkpoint)
     kg = coll.kg_batch()
 
-    z = embed_all_drugs(model, variables, coll, kg)
+    eval_masks = None
+    if args.eval_type:
+        import numpy as _np
+
+        from ..eval.masks import get_evaluate_masks
+
+        base = _np.asarray(ds.masks)
+        eval_masks, _ = get_evaluate_masks(base, base, args.eval_type,
+                                           args.finetune_mode)
+    z = embed_all_drugs(model, variables, coll, kg, eval_masks=eval_masks)
     logger.info(f"embedded {z.shape[0]} drugs -> {z.shape}")
     if args.export_embeddings:
         np.save(args.export_embeddings, z)

@@ -110,8 +110,29 @@ class DDICollator:
             extra_tabular=extra,
         )
 
-    def kg_batch(self, **kw) -> HeteroKGBatch:
+    def kg_batch(self, seed_drug_ids=None,
+                 kg_sampling_num_neighbors: Optional[int] = None,
+                 kg_sampling_num_layers: int = 2, **kw) -> HeteroKGBatch:
+        """Full-KG batch by default (the reference's default path,
+        data_utils.py:330-332); with `kg_sampling_num_neighbors`, a
+        drug-rooted sampled subgraph (sample_kg_data analog). Note the
+        sampled variant changes kg_rows: use the returned batch's
+        drug_index_map with drug_row_lookup for gathers."""
         ds = self.ds
+        if kg_sampling_num_neighbors:
+            from .kg_sampling import sample_kg_subgraph
+
+            seeds = (
+                np.nonzero(np.isin(ds.kg_drug_ids, seed_drug_ids))[0]
+                if seed_drug_ids is not None
+                else np.arange(len(ds.kg_drug_ids))
+            )
+            sub, _ = sample_kg_subgraph(
+                ds.kg_node_feats, ds.kg_edge_indices, ds.kg_drug_ids,
+                seeds, kg_sampling_num_neighbors, kg_sampling_num_layers,
+                rng=self.rng,
+            )
+            return sub
         return build_kg_batch(
             ds.kg_node_feats, ds.kg_edge_indices, ds.kg_drug_ids, **kw
         )

@@ -105,3 +105,33 @@ def embedding_plot_coords(embeds, method: str = "auto", seed: int = 42):
     xc = x - x.mean(0)
     _, _, vt = np.linalg.svd(xc, full_matrices=False)
     return xc @ vt[:2].T, "pca"
+
+
+def plot_embeddings(
+    embeds_by_group, out_path: str, title: str = "embeddings",
+    method: str = "auto", seed: int = 42,
+):
+    """Scatter plot of 2-D-projected embeddings colored by group (the
+    reference's draw_umap_plot role, eval_utils.py:389-597; matplotlib
+    instead of plotly, UMAP when installed else PCA)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    groups = list(embeds_by_group)
+    all_x = np.concatenate([np.asarray(embeds_by_group[g]) for g in groups])
+    coords, used = embedding_plot_coords(all_x, method=method, seed=seed)
+    fig, ax = plt.subplots(figsize=(6, 5))
+    off = 0
+    for g in groups:
+        n = len(embeds_by_group[g])
+        ax.scatter(coords[off:off + n, 0], coords[off:off + n, 1],
+                   s=8, alpha=0.7, label=str(g))
+        off += n
+    ax.legend(fontsize=7)
+    ax.set_title(f"{title} ({used})")
+    fig.tight_layout()
+    fig.savefig(out_path, dpi=120)
+    plt.close(fig)
+    return out_path
