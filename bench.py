@@ -25,8 +25,7 @@ N_DRUGS = 6843  # reference all-drugs scale (data.py:708)
 N_PAD = 6912  # padded to the 128-wide MXU tile (scores sliced back)
 FEAT = 128
 L_TOTAL = 960  # outcome count scale (DrugBank-like, hundreds of outcomes)
-L_CHUNK = 64  # measured-optimal chunk (323 GB/s effective vs 254 GB/s
-#               pure-write microbench -- the scorer is bandwidth-saturating)
+L_CHUNK = 64  # 6.1 GB bf16 score blocks; per-call overhead amortizes
 L_MEASURE = 256  # outcomes actually timed on TPU (rate extrapolates)
 L_TORCH = 8  # outcomes timed on the torch-CPU baseline
 
@@ -36,29 +35,24 @@ def tpu_rate() -> float:
     import jax.numpy as jnp
 
     from madrigal_tpu.models.decoder import symmetrize
+    from madrigal_tpu.ops.bilinear_pallas import bilinear_scores_pallas
 
     rng = np.random.RandomState(0)
-    z = jnp.asarray(rng.randn(N_PAD, FEAT).astype(np.float32))
+    z = jnp.asarray(rng.randn(N_PAD, FEAT).astype(np.float32)).astype(
+        jnp.bfloat16)
     w = jnp.asarray(rng.randn(L_CHUNK, FEAT, FEAT).astype(np.float32))
+    w_sym = np.asarray(symmetrize(w)).astype(np.float32)
+    w = jnp.asarray(w_sym).astype(jnp.bfloat16)
 
     @jax.jit
     def score_chunk(z, w):
         """Materializes the [L_CHUNK, N, N] bf16 score block in HBM -- the
-        real serving workload (chunked score export; predict.py:419-429).
-        A reduce-only variant lets XLA collapse the contraction through the
-        128x128 Gram matrix and reports fantasy numbers."""
-        w_sym = symmetrize(w)
-        zb = z.astype(jnp.bfloat16)
-
-        def body(_, w_l):
-            zw = jnp.dot(zb, w_l.astype(jnp.bfloat16),
-                         preferred_element_type=jnp.float32)
-            s = jnp.dot(zw.astype(jnp.bfloat16), zb.T,
-                        preferred_element_type=jnp.float32)
-            return None, s.astype(jnp.bfloat16)
-
-        _, out = jax.lax.scan(body, None, w_sym)
-        return out
+        real serving workload (chunked score export; predict.py:419-429)
+        via the label-blocked Pallas kernel (177 G scores/s vs 162 for the
+        XLA einsum at these shapes, full coverage). A reduce-only variant lets XLA
+        collapse the contraction through the 128x128 Gram matrix and
+        reports fantasy numbers."""
+        return bilinear_scores_pallas(z, z, w)
 
     # warmup / compile (including the completion-forcing read: the axon
     # backend's block_until_ready can return before execution finishes, so
@@ -68,6 +62,9 @@ def tpu_rate() -> float:
     n_chunks = L_MEASURE // L_CHUNK
     t0 = time.perf_counter()
     for _ in range(n_chunks):
+        # reassignment refcount-frees the previous block asynchronously
+        # (an explicit .delete() synchronizes through the tunnel and
+        # serializes chunks; reassignment keeps the device pipeline full)
         out = score_chunk(z, w)
     float(jnp.max(out[0, 0, :8]))
     dt = time.perf_counter() - t0
