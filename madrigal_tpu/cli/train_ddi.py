@@ -27,6 +27,11 @@ def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description="Madrigal-TPU DDI finetuning")
     add_common_args(p)
     p.add_argument("--finetune_mode", type=str, default="str_random_sample")
+    p.add_argument("--split_method", type=str,
+                   default="split_by_triplets")
+    p.add_argument("--test", action="store_true",
+                   help="final test-split evaluation with the best model"
+                        " (reference predict.test analog)")
     p.add_argument("--num_epochs", type=int, default=None)
     p.add_argument("--warmup_epochs", type=int, default=None)
     p.add_argument("--evaluate_interval", type=int, default=None)
@@ -61,6 +66,34 @@ def main(argv=None):
     mlog = MetricLogger(args.save_dir, run_name="train_ddi")
 
     ds, coll = load_data(args)
+    splits = None
+    if (args.synthetic or not args.data_dir) and not args.all_train:
+        # synthetic path: generate real train/val/test splits so model
+        # selection runs on held-out data like the reference
+        # (train_ddi_batch.py:376-412)
+        from ..data.synthetic import make_split_dataset
+
+        ds, splits = make_split_dataset(
+            num_drugs=args.synthetic_drugs,
+            num_labels=args.synthetic_labels,
+            num_edges=args.synthetic_edges,
+            split_method=args.split_method, seed=args.seed,
+        )
+        from ..data.collate import DDICollator
+
+        coll = DDICollator(ds, split="train", seed=args.seed)
+    elif args.data_dir and not args.all_train:
+        from ..data.datasets import load_reference_dataset
+
+        splits = {}
+        for sp in ("val", "test"):
+            try:
+                sds = load_reference_dataset(
+                    args.data_dir, split_method=args.split_method, split=sp)
+                splits[sp] = sds.edge_df
+            except FileNotFoundError:
+                pass
+        splits = splits or None
     if args.all_train:
         if args.data_dir and not args.synthetic:
             from ..data.datasets import load_reference_all_train
@@ -129,9 +162,20 @@ def main(argv=None):
         if epoch % cfg.evaluate_interval == 0 and epoch > 0:
             variables = {"params": trainer.state.params,
                          "batch_stats": trainer.state.batch_stats}
-            key = evaluator.evaluate_ft(variables, batch, kg, "train",
-                                        eval_types=["full_full", "str_str"])
-            mlog.log({"train_full_full_auprc": key}, step=epoch)
+            if splits is not None and "val" in splits and len(splits["val"]):
+                from ..data.collate import DDICollator as _C
+
+                val_batch, _ = _C(ds, split="val", seed=args.seed)(
+                    splits["val"])
+                key = evaluator.evaluate_ft(
+                    variables, val_batch, kg, "val",
+                    eval_types=["full_full", "str_str"])
+                mlog.log({"val_key_auprc": key}, step=epoch)
+            else:
+                key = evaluator.evaluate_ft(
+                    variables, batch, kg, "train",
+                    eval_types=["full_full", "str_str"])
+                mlog.log({"train_full_full_auprc": key}, step=epoch)
             if key > best_key:
                 best_key = key
                 best_epoch = epoch
@@ -148,6 +192,26 @@ def main(argv=None):
         epoch=cfg.num_epochs,
     )
     logger.info(f"done; best auprc {best_key:.4f} @ epoch {best_epoch}")
+
+    if args.test and splits is not None and "test" in splits and \
+            len(splits["test"]):
+        # reference predict.test analog: reload the best checkpoint and run
+        # the full test-split eval sweep (predict.py:15-170)
+        from ..data.collate import DDICollator as _C
+        from ..eval.predict import model_from_checkpoint
+
+        best_path = os.path.join(args.save_dir, "best_model")
+        if os.path.exists(best_path):
+            model, variables, _ = model_from_checkpoint(best_path)
+            test_eval = Evaluator(model, cfg.finetune_mode, task=cfg.task,
+                                  logger=logger)
+            test_batch, _ = _C(ds, split="test", seed=args.seed)(
+                splits["test"])
+            test_key = test_eval.evaluate_ft(
+                variables, test_batch, kg, "test",
+                eval_types=["full_full", "str_str"])
+            logger.info(f"test key auprc (best model): {test_key:.4f}")
+            mlog.log({"test_key_auprc": test_key})
     mlog.finish()
     return best_key
 

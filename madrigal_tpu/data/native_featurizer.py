@@ -138,3 +138,78 @@ def featurize_batch_native(smiles_list: List[str], node_cap: int = 256,
             "edge_feats": edge_feats[m, :e].copy(),
         })
     return out
+
+
+def featurize_pack_native(smiles_list: List[str],
+                          node_budget: Optional[int] = None,
+                          edge_budget: Optional[int] = None,
+                          pad_multiple: int = 128):
+    """Featurize + pack a SMILES batch into one padded arena in a single
+    native call (the fully-native molecule data path). Returns a
+    MolGraphBatch. Unparseable molecules become single-dummy-atom graphs
+    so graph ids stay aligned."""
+    import ctypes as C
+
+    import jax.numpy as jnp
+
+    from .molgraph import MolGraphBatch, round_up
+
+    lib = _load()
+    if not hasattr(lib, "_pack_configured"):
+        lib.mtpu_featurize_pack.restype = C.c_int
+        lib.mtpu_featurize_pack.argtypes = [
+            C.c_char_p, C.POINTER(C.c_int32), C.c_int32,
+            C.POINTER(C.c_float), C.POINTER(C.c_uint8),
+            C.POINTER(C.c_int32), C.POINTER(C.c_int32),
+            C.POINTER(C.c_int32), C.POINTER(C.c_float),
+            C.POINTER(C.c_uint8), C.c_int32, C.c_int32,
+            C.POINTER(C.c_int32), C.POINTER(C.c_int32),
+        ]
+        lib._pack_configured = True
+
+    count = len(smiles_list)
+    enc = [s.encode() for s in smiles_list]
+    offsets = np.zeros(count, np.int32)
+    buf = bytearray()
+    for i, b in enumerate(enc):
+        offsets[i] = len(buf)
+        buf += b + b"\0"
+    # conservative default budgets: ~3 heavy atoms + 8 directed edges per
+    # char is far above real molecules; callers pass budgets for tight fits
+    nb = node_budget or round_up(max(sum(len(s) for s in smiles_list), 16),
+                                 pad_multiple)
+    eb = edge_budget or round_up(nb * 4, pad_multiple)
+
+    node_feats = np.zeros((nb, MOL_DIM), np.float32)
+    node_mask = np.zeros(nb, np.uint8)
+    node_graph = np.zeros(nb, np.int32)
+    edge_src = np.zeros(eb, np.int32)
+    edge_dst = np.zeros(eb, np.int32)
+    edge_feats = np.zeros((eb, BOND_DIM), np.float32)
+    edge_mask = np.zeros(eb, np.uint8)
+    nn = C.c_int32(0)
+    ne = C.c_int32(0)
+    rc = lib.mtpu_featurize_pack(
+        bytes(buf), offsets.ctypes.data_as(C.POINTER(C.c_int32)), count,
+        node_feats.ctypes.data_as(C.POINTER(C.c_float)),
+        node_mask.ctypes.data_as(C.POINTER(C.c_uint8)),
+        node_graph.ctypes.data_as(C.POINTER(C.c_int32)),
+        edge_src.ctypes.data_as(C.POINTER(C.c_int32)),
+        edge_dst.ctypes.data_as(C.POINTER(C.c_int32)),
+        edge_feats.ctypes.data_as(C.POINTER(C.c_float)),
+        edge_mask.ctypes.data_as(C.POINTER(C.c_uint8)),
+        nb, eb, C.byref(nn), C.byref(ne),
+    )
+    if rc != 0:
+        raise ValueError(f"arena budgets too small (rc={rc}): "
+                         f"nodes {nb}, edges {eb}")
+    return MolGraphBatch(
+        node_feats=jnp.asarray(node_feats),
+        node_mask=jnp.asarray(node_mask.astype(bool)),
+        node_graph=jnp.asarray(node_graph),
+        edge_src=jnp.asarray(edge_src),
+        edge_dst=jnp.asarray(edge_dst),
+        edge_feats=jnp.asarray(edge_feats),
+        edge_mask=jnp.asarray(edge_mask.astype(bool)),
+        num_graphs=count,
+    )

@@ -125,7 +125,12 @@ def get_metrics(
         names = list(rows[0].keys())
         arr = np.array([[r[n] for n in names] for r in rows])
         if average == "macro":
-            with np.errstate(invalid="ignore"):
+            import warnings
+
+            with np.errstate(invalid="ignore"), warnings.catch_warnings():
+                # all-NaN metric columns (e.g. @k with k > group size)
+                # legitimately average to NaN
+                warnings.simplefilter("ignore", RuntimeWarning)
                 vals_avg = np.nanmean(arr, axis=0)
             metrics = dict(zip(names, vals_avg))
         elif average == "weighted":

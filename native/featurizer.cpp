@@ -512,3 +512,74 @@ int mtpu_featurize_batch(const char* smiles_buf, const int32_t* offsets,
 }
 
 }  // extern "C"
+
+extern "C" {
+
+// Featurize a SMILES batch and pack it directly into a padded node/edge
+// arena (the molgraph.pack_molecules layout): node_feats [node_budget*67],
+// node_mask/node_graph [node_budget], edge_src/dst [edge_budget],
+// edge_feats [edge_budget*18], edge_mask [edge_budget].
+// Unparseable molecules contribute a single zero-feature atom (so graph
+// ids stay aligned with the input order). Returns 0 on success, 2 if the
+// budgets overflow.
+int mtpu_featurize_pack(const char* smiles_buf, const int32_t* offsets,
+                        int32_t count, float* node_feats, uint8_t* node_mask,
+                        int32_t* node_graph, int32_t* edge_src,
+                        int32_t* edge_dst, float* edge_feats,
+                        uint8_t* edge_mask, int32_t node_budget,
+                        int32_t edge_budget, int32_t* n_nodes_out,
+                        int32_t* n_edges_out) {
+  std::memset(node_feats, 0, sizeof(float) * node_budget * MOL_DIM);
+  std::memset(node_mask, 0, node_budget);
+  std::memset(edge_feats, 0, sizeof(float) * edge_budget * BOND_DIM);
+  std::memset(edge_mask, 0, edge_budget);
+  for (int32_t i = 0; i < node_budget; ++i) node_graph[i] = count;
+  for (int32_t i = 0; i < edge_budget; ++i) {
+    edge_src[i] = 0;
+    edge_dst[i] = 0;
+  }
+
+  int32_t n_off = 0;
+  int32_t e_off = 0;
+  for (int32_t m = 0; m < count; ++m) {
+    Parser parser{std::string(smiles_buf + offsets[m])};
+    Molecule mol;
+    if (parser.parse()) {
+      mol = std::move(parser.mol);
+      finalize(&mol);
+    } else {
+      mol.atoms.push_back(Atom{});
+      mol.atoms.back().symbol = "*";
+    }
+    int na = static_cast<int>(mol.atoms.size());
+    int ne = static_cast<int>(mol.bonds.size()) * 2;
+    if (n_off + na > node_budget || e_off + ne > edge_budget) return 2;
+    for (int ai = 0; ai < na; ++ai) {
+      atom_features(mol, mol.atoms[ai],
+                    node_feats + (n_off + ai) * MOL_DIM);
+      node_mask[n_off + ai] = 1;
+      node_graph[n_off + ai] = m;
+    }
+    for (size_t bi = 0; bi < mol.bonds.size(); ++bi) {
+      const Bond& b = mol.bonds[bi];
+      float feat[BOND_DIM];
+      bond_features(b, feat);
+      int e0 = e_off + static_cast<int>(bi) * 2;
+      edge_src[e0] = n_off + b.a;
+      edge_dst[e0] = n_off + b.b;
+      edge_src[e0 + 1] = n_off + b.b;
+      edge_dst[e0 + 1] = n_off + b.a;
+      std::memcpy(edge_feats + e0 * BOND_DIM, feat, sizeof(feat));
+      std::memcpy(edge_feats + (e0 + 1) * BOND_DIM, feat, sizeof(feat));
+      edge_mask[e0] = 1;
+      edge_mask[e0 + 1] = 1;
+    }
+    n_off += na;
+    e_off += ne;
+  }
+  *n_nodes_out = n_off;
+  *n_edges_out = e_off;
+  return 0;
+}
+
+}  // extern "C"

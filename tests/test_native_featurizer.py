@@ -55,3 +55,39 @@ def test_native_throughput():
     assert all(o is not None for o in out)
     rate = len(batch) / dt
     assert rate > 2000, f"native featurizer too slow: {rate:.0f} mol/s"
+
+
+def test_native_arena_pack_matches_python_path():
+    import jax.numpy as jnp
+
+    from madrigal_tpu.data.featurize import featurize_smiles_builtin
+    from madrigal_tpu.data.molgraph import pack_molecules
+    from madrigal_tpu.data.native_featurizer import featurize_pack_native
+
+    graphs = [featurize_smiles_builtin(s) for s in SMILES]
+    py_batch = pack_molecules(graphs, node_budget=256, edge_budget=256)
+    nat_batch = featurize_pack_native(SMILES, node_budget=256,
+                                      edge_budget=256)
+    np.testing.assert_array_equal(np.asarray(py_batch.node_feats),
+                                  np.asarray(nat_batch.node_feats))
+    np.testing.assert_array_equal(np.asarray(py_batch.node_graph),
+                                  np.asarray(nat_batch.node_graph))
+    np.testing.assert_array_equal(np.asarray(py_batch.edge_src),
+                                  np.asarray(nat_batch.edge_src))
+    np.testing.assert_array_equal(np.asarray(py_batch.edge_feats),
+                                  np.asarray(nat_batch.edge_feats))
+    assert nat_batch.num_graphs == len(SMILES)
+
+
+def test_native_arena_pack_through_gin():
+    import jax
+
+    from madrigal_tpu.data.native_featurizer import featurize_pack_native
+    from madrigal_tpu.models.gin import GINEncoder
+
+    batch = featurize_pack_native(SMILES, node_budget=256, edge_budget=256)
+    model = GINEncoder(hidden_dims=(16, 16), num_mlp_layer=2)
+    v = model.init(jax.random.PRNGKey(0), batch, train=False)
+    feat, _ = model.apply(v, batch, train=False)
+    assert feat.shape == (len(SMILES), 16)
+    assert np.isfinite(np.asarray(feat)).all()
