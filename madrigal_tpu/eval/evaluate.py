@@ -151,3 +151,45 @@ class Evaluator:
             if et == sel:
                 key_metric = k
         return key_metric
+
+
+def save_scores_and_stratified_metrics(
+    preds, pos_neg, labels, out_dir: str, split: str, eval_type: str,
+    finetune_mode: str, label_map=None, k: int = K,
+):
+    """Score + label-stratified-metric CSV export (the reference's
+    save_scores path, evaluate.py:216-247 + the commented export at
+    evaluate.py:252-258): per-triple scores and per-label metric rows."""
+    import os
+
+    import pandas as pd
+
+    os.makedirs(out_dir, exist_ok=True)
+    preds = np.asarray(preds)
+    pos_neg = np.asarray(pos_neg)
+    labels = np.asarray(labels)
+
+    scores_df = pd.DataFrame({
+        "pred_score": preds, "pos_neg": pos_neg, "label": labels,
+    })
+    scores_path = os.path.join(
+        out_dir, f"{split}_{eval_type}_{finetune_mode}_scores.csv")
+    scores_df.to_csv(scores_path, index=False)
+
+    stratified, pos_samples = get_metrics(
+        preds, pos_neg, labels, k=k, task="multilabel", average=None,
+    )
+    uniq = np.unique(labels)
+    rows = {name: np.asarray(vals) for name, vals in stratified.items()}
+    metrics_df = pd.DataFrame(rows)
+    metrics_df["pos_samples"] = pos_samples.astype(int)
+    metrics_df["label"] = (
+        [label_map[int(u)] for u in uniq] if label_map is not None
+        else uniq
+    )
+    metrics_path = os.path.join(
+        out_dir,
+        f"{split}_{eval_type}_{finetune_mode}_label_stratified_metrics.csv",
+    )
+    metrics_df.to_csv(metrics_path, index=False)
+    return scores_path, metrics_path

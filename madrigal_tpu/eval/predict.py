@@ -116,28 +116,45 @@ def score_all_pairs(
     label_chunk: int = 32,
     out: Optional[np.ndarray] = None,
     compute_dtype=jnp.float32,
+    use_pallas: Optional[bool] = None,
 ) -> np.ndarray:
     """[L, N_head, N_tail] raw scores, label-chunked into `out` (pass an
-    np.memmap for reference-format artifact export, predict.py:412-436)."""
+    np.memmap for reference-format artifact export, predict.py:412-436).
+
+    compute_dtype=float32 (default) keeps per-triple scores at reference
+    parity; bfloat16 + the Pallas kernel is the high-throughput export
+    path (use_pallas defaults to True on TPU when compute is bf16)."""
+    from ..ops.bilinear_pallas import bilinear_scores_pallas
+
     w_sym = decoder_weight(model, variables)
     L = w_sym.shape[0]
     z_tail = z_head if z_tail is None else z_tail
     if out is None:
         out = np.empty((L, z_head.shape[0], z_tail.shape[0]), np.float32)
 
-    @jax.jit
-    def chunk(zh, zt, w):
-        zh = zh.astype(compute_dtype)
-        zt = zt.astype(compute_dtype)
+    if use_pallas is None:
+        use_pallas = (
+            jax.default_backend() == "tpu"
+            and jnp.dtype(compute_dtype) == jnp.dtype(jnp.bfloat16)
+        )
 
-        def body(_, w_l):
-            zw = jnp.dot(zh, w_l.astype(compute_dtype),
-                         preferred_element_type=jnp.float32)
-            return None, jnp.dot(zw.astype(compute_dtype), zt.T,
-                                 preferred_element_type=jnp.float32)
+    if use_pallas:
+        chunk = jax.jit(lambda zh, zt, w: bilinear_scores_pallas(
+            zh, zt, w, out_dtype=jnp.float32, compute_dtype=compute_dtype))
+    else:
+        @jax.jit
+        def chunk(zh, zt, w):
+            zh = zh.astype(compute_dtype)
+            zt = zt.astype(compute_dtype)
 
-        _, s = jax.lax.scan(body, None, w)
-        return s
+            def body(_, w_l):
+                zw = jnp.dot(zh, w_l.astype(compute_dtype),
+                             preferred_element_type=jnp.float32)
+                return None, jnp.dot(zw.astype(compute_dtype), zt.T,
+                                     preferred_element_type=jnp.float32)
+
+            _, s = jax.lax.scan(body, None, w)
+            return s
 
     zh = jnp.asarray(z_head)
     zt = jnp.asarray(z_tail)

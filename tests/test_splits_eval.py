@@ -121,3 +121,25 @@ def test_attention_capture():
     assert attn.shape == (B, 2, S, S)  # [B, heads, seq, seq]
     row_sums = np.asarray(attn).sum(-1)
     np.testing.assert_allclose(row_sums, 1.0, atol=1e-5)
+
+
+def test_save_scores_and_stratified_metrics(tmp_path, rng=np.random.RandomState(5)):
+    import pandas as pd
+
+    from madrigal_tpu.eval.evaluate import save_scores_and_stratified_metrics
+
+    T = 120
+    preds = rng.rand(T)
+    pos_neg = (rng.rand(T) < 0.4).astype(int)
+    labels = rng.randint(0, 4, T)
+    sp, mp = save_scores_and_stratified_metrics(
+        preds, pos_neg, labels, str(tmp_path), "test", "full_full",
+        "str_random_sample", label_map={i: f"outcome_{i}" for i in range(4)},
+    )
+    sdf = pd.read_csv(sp)
+    assert len(sdf) == T and set(sdf.columns) == {"pred_score", "pos_neg",
+                                                  "label"}
+    mdf = pd.read_csv(mp)
+    assert len(mdf) == 4
+    assert "auprc" in mdf.columns and "pos_samples" in mdf.columns
+    assert mdf["label"].tolist() == [f"outcome_{i}" for i in range(4)]
