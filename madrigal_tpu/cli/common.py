@@ -9,7 +9,7 @@ from __future__ import annotations
 
 import argparse
 import json
-from typing import Any, Optional, Tuple
+from typing import Any, Tuple
 
 from .. import config as config_lib
 from ..data.collate import DDICollator

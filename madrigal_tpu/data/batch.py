@@ -9,7 +9,7 @@ per-cell-line dict so the chemCPA encoder runs as one [16*B] matmul batch
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, Optional
+from typing import Dict
 
 import jax
 import jax.numpy as jnp

@@ -14,13 +14,12 @@ the values are masked downstream either way, and zeros are deterministic.
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, Optional, Sequence, Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..constants import NUM_CELL_LINES
 from .batch import DrugModalityBatch
 from .kg import HeteroKGBatch, build_kg_batch, drug_row_lookup
 from .molgraph import pack_molecules

@@ -20,7 +20,7 @@ consume, so synthetic and real data share one code path.
 from __future__ import annotations
 
 import os
-from typing import Dict, List, Optional
+from typing import Optional
 
 import numpy as np
 

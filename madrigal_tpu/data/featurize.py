@@ -21,7 +21,7 @@ Feature layout (concatenation order fixed):
 """
 from __future__ import annotations
 
-from typing import Dict, List, Optional
+from typing import List, Optional
 
 import numpy as np
 

@@ -11,7 +11,7 @@ masks, and a directed long-format DDI table with fixed negatives
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, List, Optional
+from typing import Dict, List
 
 import numpy as np
 

@@ -9,14 +9,13 @@ tracking keyed per (split, eval_type).
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable, Dict, Optional, Tuple
+from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from ..data.collate import DDIBatch
-from ..data.kg import HeteroKGBatch
 from ..models.encoder import MadrigalMultilabel
 from .masks import MODEL_SELECTION_EVAL_TYPE, get_evaluate_masks
 from .metrics import AVERAGE, K, KEY_METRIC, get_metrics

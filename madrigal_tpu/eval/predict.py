@@ -29,7 +29,7 @@ from ..config import ModelConfig, TrainConfig
 from ..data.collate import DDICollator
 from ..data.kg import HeteroKGBatch
 from ..models.decoder import symmetrize
-from ..models.encoder import MadrigalMultilabel, init_multilabel
+from ..models.encoder import MadrigalMultilabel
 from .masks import get_evaluate_masks
 
 

@@ -19,7 +19,7 @@ after a single replicated-Z broadcast -- no cross-chip sort merge needed
 from __future__ import annotations
 
 from functools import partial
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -31,19 +31,6 @@ def lower_tri_mask(n: int) -> jnp.ndarray:
     rows = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
     cols = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
     return rows > cols
-
-
-import functools
-
-
-@functools.lru_cache(maxsize=8)
-def _tril_flat_indices(n: int):
-    """Static flat indices of the strict lower triangle (host-computed,
-    cached; becomes an XLA constant)."""
-    rows, cols = np.tril_indices(n, k=-1)
-    # numpy (not jnp): jnp arrays created inside a trace would leak tracers
-    # through the cache; numpy constants embed safely in any trace
-    return (rows * n + cols).astype(np.int32)
 
 
 def normalized_rank_matrix(scores: jnp.ndarray) -> jnp.ndarray:

@@ -32,7 +32,7 @@ their fresh initialization, mirroring load_state_dict(strict=False).
 """
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List, Tuple
 
 import numpy as np
 

@@ -15,8 +15,6 @@ pairxoutcome scorer instead.
 """
 from __future__ import annotations
 
-from typing import Optional
-
 import flax.linen as nn
 import jax.numpy as jnp
 

@@ -17,7 +17,7 @@ Key TPU-first deviations (all masked-equivalent, SURVEY.md section 7.3):
 """
 from __future__ import annotations
 
-from typing import Dict, Optional
+from typing import Optional
 
 import flax.linen as nn
 import jax.numpy as jnp

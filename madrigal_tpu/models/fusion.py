@@ -11,8 +11,6 @@ fusion jits into one XLA program with static shapes.
 from __future__ import annotations
 
 import math
-from typing import Optional
-
 import flax.linen as nn
 import jax.numpy as jnp
 import numpy as np

@@ -15,8 +15,6 @@ available locally).
 """
 from __future__ import annotations
 
-from typing import Optional
-
 import flax.linen as nn
 import jax.numpy as jnp
 

@@ -9,10 +9,7 @@ masking scores the 2Bx2B similarity matrix.
 """
 from __future__ import annotations
 
-from typing import Optional
-
 import flax.linen as nn
-import jax.numpy as jnp
 
 from ..config import EncoderConfig
 from ..train.losses import info_nce

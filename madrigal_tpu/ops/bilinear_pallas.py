@@ -18,8 +18,6 @@ Falls back to the XLA einsum path on non-TPU backends.
 """
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -14,7 +14,7 @@ finetuning beyond one chip.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Sequence
+from typing import Optional
 
 import jax
 import numpy as np

@@ -9,7 +9,7 @@ are static so no recompilation occurs across epochs.
 from __future__ import annotations
 
 from itertools import chain, combinations
-from typing import Dict, List, Optional, Tuple
+from typing import List, Tuple
 
 import numpy as np
 

@@ -10,8 +10,7 @@ as `ChemCPAAdaptTrainer` mirroring chemCPA/model.py:729-829).
 """
 from __future__ import annotations
 
-import dataclasses
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, Tuple
 
 import flax.linen as nn
 import jax
@@ -19,7 +18,7 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from ..config import ChemCPAConfig, GINConfig, HGTConfig, MLPEncoderConfig
+from ..config import ChemCPAConfig, GINConfig, HGTConfig
 from ..data.kg import HeteroKGBatch
 from ..data.molgraph import MolGraphBatch
 from ..models.chemcpa import ChemCPAEncoder, gaussian_nll_loss

@@ -9,8 +9,7 @@ utils.py:628-662); linear-warmup + cosine-decay schedules
 """
 from __future__ import annotations
 
-import math
-from typing import Any, Callable, Dict, Optional
+from typing import Any, Callable, Dict
 
 import jax
 import jax.numpy as jnp

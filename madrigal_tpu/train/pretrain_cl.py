@@ -13,7 +13,7 @@ sampling per step.
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, Optional
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import math
 from itertools import chain, combinations
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, Tuple
 
 import numpy as np
 

@@ -10,7 +10,7 @@ filter in train/checkpoint.py for the full 3-stage pipeline:
 """
 from __future__ import annotations
 
-from typing import Dict, Optional
+
 
 from .checkpoint import merge_params
 
