@@ -94,3 +94,41 @@ def test_single_drug_head(rng):
                       method=MadrigalMultilabel.score_single_drug)
     assert out.shape == (batch.head.batch_size, 7)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_profiling_utils():
+    import jax.numpy as jnp
+
+    from madrigal_tpu.utils.profiling import StepTimer, memory_stats
+
+    t = StepTimer()
+    for _ in range(3):
+        t.start()
+        x = jnp.ones((128, 128)) @ jnp.ones((128, 128))
+        t.stop(x)
+    s = t.summary()
+    assert s["n"] == 3 and s["mean_s"] > 0
+    stats = memory_stats()
+    assert isinstance(stats, dict)
+
+
+def test_logging_utils(tmp_path):
+    import json
+
+    from madrigal_tpu.utils.logging import (
+        AverageMeter, MetricLogger, ProgressMeter, get_root_logger,
+    )
+
+    m = AverageMeter("loss", ":.3f")
+    m.update(1.0)
+    m.update(3.0)
+    assert m.avg == 2.0
+    logger = get_root_logger(str(tmp_path / "x.log"))
+    ProgressMeter(10, [m], logger).display(3)
+
+    ml = MetricLogger(str(tmp_path), run_name="r")
+    ml.log({"a": 1.5}, step=0)
+    ml.log({"a": 2.5}, step=1)
+    rows = [json.loads(l) for l in
+            open(tmp_path / "r_metrics.jsonl").read().splitlines()]
+    assert rows[0]["a"] == 1.5 and rows[1]["_step"] == 1
