@@ -46,13 +46,18 @@ def sharded_rank_tensor(
     z: np.ndarray,
     w_sym: np.ndarray,
     chunk_per_device: int = 4,
-    compute_dtype=jnp.bfloat16,
+    compute_dtype=jnp.float32,
     out: Optional[np.ndarray] = None,
 ) -> np.ndarray:
     """Full [L, N, N] normalized-rank tensor computed label-sharded.
 
     Streams device-sharded chunks (d * chunk_per_device outcomes at a time)
     back to the host buffer (np.memmap-compatible `out`).
+
+    compute_dtype defaults to float32 so the sharded path's ranks match the
+    single-host `eval.ranks.rank_tensor` exactly; pass bfloat16 explicitly
+    as the high-throughput opt-in (bf16 rounding can reorder near-tie
+    scores, perturbing ranks).
     """
     axis = mesh.axis_names[-1]
     d = mesh.shape[axis]
@@ -83,7 +88,7 @@ def sharded_score_chunk(
     z_head: jnp.ndarray,
     z_tail: jnp.ndarray,
     w_sym_chunk: jnp.ndarray,
-    compute_dtype=jnp.bfloat16,
+    compute_dtype=jnp.float32,
 ):
     """[Lc, N_head, N_tail] raw scores, label-sharded (the
     `get_*_scores_for_all_pairs` analog, predict.py:419-429)."""
@@ -110,11 +115,40 @@ def sharded_score_chunk(
 
 
 def embed_all_drugs_sharded(mesh: Mesh, encoder_apply, variables, batches):
-    """Embed drug batches data-parallel over 'dp' (host feeds per-device
-    batches; encoder weights replicated). `batches` yields DrugModalityBatch
-    pytrees already padded to equal shapes."""
+    """Embed drug batches data-parallel over the mesh's 'dp' axis.
+
+    `batches` yields DrugModalityBatch pytrees already padded to EQUAL
+    shapes (fixed node/edge budgets). Groups of `dp` consecutive batches
+    are stacked along a new leading axis, placed with `P('dp')`, and run
+    through `jax.vmap(encoder_apply)` -- GSPMD partitions the vmapped axis
+    over the devices so each chip embeds its own drug shard with zero
+    cross-chip communication (weights replicated). A trailing group
+    shorter than `dp` is padded by repeating its last batch and the extra
+    rows are dropped on the host.
+    """
+    dp_axis = "dp" if "dp" in mesh.axis_names else mesh.axis_names[0]
+    dp = mesh.shape[dp_axis]
     rep = NamedSharding(mesh, P())
+    sh = NamedSharding(mesh, P(dp_axis))
     variables = jax.device_put(variables, rep)
-    fn = jax.jit(encoder_apply)
-    outs = [np.asarray(fn(variables, b)) for b in batches]
+
+    fn = jax.jit(
+        jax.vmap(encoder_apply, in_axes=(None, 0)),
+        in_shardings=(rep, sh),
+        out_shardings=sh,
+    )
+
+    batches = list(batches)
+    outs = []
+    for s in range(0, len(batches), dp):
+        group = batches[s : s + dp]
+        n_real = len(group)
+        sizes = [int(b.drugs.shape[0]) for b in group]
+        group = group + [group[-1]] * (dp - n_real)
+        stacked = jax.tree_util.tree_map(
+            lambda *xs: jnp.stack(xs), *group
+        )
+        stacked = jax.device_put(stacked, sh)
+        z = np.asarray(fn(variables, stacked))  # [dp, B, D]
+        outs.extend(z[i, : sizes[i]] for i in range(n_real))
     return np.concatenate(outs, axis=0)

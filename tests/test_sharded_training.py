@@ -77,6 +77,62 @@ def test_sharded_step_matches_single_device():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
 
 
+def test_embed_all_drugs_sharded_matches_serial():
+    """dp-sharded drug embedding equals the serial embed_all_drugs path."""
+    from madrigal_tpu.eval.predict import embed_all_drugs
+    from madrigal_tpu.parallel.allpairs import embed_all_drugs_sharded
+
+    ds = make_dataset(num_drugs=12, num_labels=4, num_edges=16, seed=5)
+    coll = DDICollator(ds, split="train")
+    batch, kg = coll()
+    trainer = FinetuneTrainer(tiny_cfg(4), batch, kg)
+    variables = {"params": trainer.state.params,
+                 "batch_stats": trainer.state.batch_stats}
+
+    z_serial = embed_all_drugs(trainer.model, variables, coll, kg)
+
+    table = trainer.model.apply(
+        variables, kg,
+        method=lambda m, k: m.encoder.kg_drug_table(k, train=False),
+    )
+
+    def encode(vs, b):
+        return trainer.model.apply(
+            vs, b, kg_drug_table=table, train=False,
+            method=lambda m, bb, kg_drug_table, train: m.encoder.encode(
+                bb, kg_drug_table=kg_drug_table, train=train
+            ),
+        )
+
+    mesh = make_train_mesh(8, label_dim=2)  # dp=4
+    dp = mesh.shape["dp"]
+    ids = np.arange(ds.num_drugs)
+    per = -(-len(ids) // dp)
+    padded = np.concatenate(
+        [ids, np.full(per * dp - len(ids), ids[-1], dtype=ids.dtype)]
+    )
+    batches = [coll.drug_batch(padded[i * per:(i + 1) * per])
+               for i in range(dp)]
+    z_sh = embed_all_drugs_sharded(mesh, encode, variables, batches)
+    np.testing.assert_allclose(z_sh[: len(ids)], z_serial,
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_sharded_rank_tensor_f32_default_matches_single_host():
+    """The sharded rank path's default dtype now matches eval.ranks exactly."""
+    from madrigal_tpu.eval.ranks import rank_tensor
+    from madrigal_tpu.parallel.allpairs import sharded_rank_tensor
+
+    rng = np.random.RandomState(1)
+    z = rng.randn(20, 16).astype(np.float32)
+    w = rng.randn(8, 16, 16).astype(np.float32)
+    w_sym = (w + w.transpose(0, 2, 1)) / 2
+    mesh = make_train_mesh(8, label_dim=2)
+    ref = rank_tensor(z, w_sym, chunk=3)
+    got = sharded_rank_tensor(mesh, z, w_sym, chunk_per_device=2)
+    np.testing.assert_allclose(got, ref, atol=1e-6)
+
+
 def test_sharded_trainer_validates_divisibility():
     ds = make_dataset(num_drugs=12, num_labels=7, num_edges=21, seed=22)
     batch, kg = DDICollator(ds, split="train")()
