@@ -110,6 +110,18 @@ class FinetuneMasker:
             self.banks = [
                 subset_mask_bank(b, require_str=True) for b in self.base
             ]
+        elif finetune_mode == "full_str+random_sample":
+            # full vs str+random-subset. The reference declares this mode
+            # (parse_args.py:154) and wires its model-selection eval types
+            # (eval_utils.py:72,91) but its train() dispatch raises
+            # NotImplementedError for it (train_ddi_batch.py:266); semantics
+            # follow the mode-name grammar: the fixed side is each drug's
+            # FULL availability (as in str_full's tail), the sampled side is
+            # a random str-containing subset (as in str_str+random_sample).
+            self.fixed = self.base
+            self.banks = [
+                subset_mask_bank(b, require_str=True) for b in self.base
+            ]
         elif finetune_mode in ("str_random_sample", "double_random"):
             self.banks = [subset_mask_bank(b) for b in self.base]
         elif finetune_mode in ABLATION_SAMPLE_MODES:
@@ -124,6 +136,7 @@ class FinetuneMasker:
     def uses_three_way_loss(self) -> bool:
         return self.mode in (
             "str_str+random_sample", "str_random_sample", "str_full",
+            "full_str+random_sample",
         ) + ABLATION_SAMPLE_MODES
 
     def edges_directed_only(self) -> bool:
@@ -145,8 +158,8 @@ class FinetuneMasker:
                 h.append(bank[i])
                 t.append(bank[j])
             return np.stack(h), np.stack(t)
-        if self.mode in ("str_str+random_sample", "str_random_sample") + \
-                ABLATION_SAMPLE_MODES:
+        if self.mode in ("str_str+random_sample", "str_random_sample",
+                         "full_str+random_sample") + ABLATION_SAMPLE_MODES:
             # masks_X: random non-str-only subset (reference offsets by +1 to
             # skip the str-only mask, train_ddi_batch.py:252)
             X = []
@@ -155,6 +168,9 @@ class FinetuneMasker:
                     X.append(bank[self.rng.randint(1, len(bank))])
                 else:
                     X.append(bank[0])
+            if self.mode == "full_str+random_sample":
+                # the fixed side is full availability, not str-only
+                return self.fixed, np.stack(X)
             return self.masks_str, np.stack(X)
         if self.mode == "str_full":
             return self.masks_str, self.fixed

@@ -105,6 +105,63 @@ def test_masking_modes(data):
     assert h[:, :3].all() and (~h[:, 3:]).all()
 
 
+@pytest.mark.parametrize("mode", __import__(
+    "madrigal_tpu.config", fromlist=["FINETUNE_MODES"]).FINETUNE_MODES)
+def test_all_17_modes_construct_masks(data, mode):
+    """Every reference finetune mode (parse_args.py:137-155) constructs
+    masks with the invariants: never unmask an unavailable modality, every
+    drug keeps >=1 modality, str-containing banks keep str."""
+    from madrigal_tpu.train.masking import FinetuneMasker
+
+    ds, batch, kg = data
+    base = np.asarray(batch.head.masks)
+    non_tx = ["str", "kg", "cv"]
+    m = FinetuneMasker(mode, base, non_tx, seed=3)
+    h, t = m.sample_epoch()
+    assert h.shape == base.shape and t.shape == base.shape
+    if "padded" not in mode and mode != "ablation_kg_kg_subset":
+        assert (h >= base).all() and (t >= base).all(), mode
+    assert (~h).any(axis=1).all() and (~t).any(axis=1).all(), mode
+    # two epochs re-sample without shape drift
+    h2, t2 = m.sample_epoch()
+    assert h2.shape == h.shape and t2.shape == t.shape
+
+
+def test_full_str_random_sample_semantics(data):
+    """full_str+random_sample: fixed side = full availability; sampled side
+    = random str-containing subset (mode-name grammar; the reference lists
+    the mode but never implements its train dispatch)."""
+    from madrigal_tpu.train.masking import FinetuneMasker
+
+    ds, batch, kg = data
+    base = np.asarray(batch.head.masks)
+    m = FinetuneMasker("full_str+random_sample", base, ["str", "kg", "cv"],
+                       seed=4)
+    h, t = m.sample_epoch()
+    np.testing.assert_array_equal(h, base)  # 'full' side
+    assert (~t[:, 0]).all()  # every sampled subset contains str
+    assert (t >= base).all()
+    assert m.uses_three_way_loss and not m.edges_directed_only()
+
+
+def test_full_str_random_sample_trains(data):
+    ds, batch, kg = data
+    trainer = FinetuneTrainer(tiny_cfg("full_str+random_sample"), batch, kg)
+    losses = trainer.train_epoch()
+    assert np.isfinite(losses["total"])
+    assert {"X_X", "str_X", "total"} <= set(losses)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("mode", __import__(
+    "madrigal_tpu.config", fromlist=["FINETUNE_MODES"]).FINETUNE_MODES)
+def test_all_17_modes_train_one_epoch(data, mode):
+    ds, batch, kg = data
+    trainer = FinetuneTrainer(tiny_cfg(mode), batch, kg)
+    losses = trainer.train_epoch()
+    assert np.isfinite(losses["total"]), (mode, losses)
+
+
 def test_param_grouping(trainer):
     labels = param_labels(trainer.state.params)
     flat = jax.tree_util.tree_leaves_with_path(labels)
