@@ -28,11 +28,20 @@ L_TOTAL = 960  # outcome count scale (DrugBank-like, hundreds of outcomes)
 L_CHUNK = 64  # 6.1 GB bf16 score blocks; per-call overhead amortizes
 L_MEASURE = 256  # outcomes actually timed on TPU (rate extrapolates)
 L_TORCH = 8  # outcomes timed on the torch-CPU baseline
+L_RANK_MEASURE = 8  # outcomes timed for the rank-normalization pipeline
+
+
+def _enable_compile_cache():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 
 
 def tpu_rate() -> float:
     import jax
     import jax.numpy as jnp
+
+    _enable_compile_cache()
 
     from madrigal_tpu.models.decoder import symmetrize
     from madrigal_tpu.ops.bilinear_pallas import bilinear_scores_pallas
@@ -92,16 +101,78 @@ def torch_cpu_rate() -> float:
     return L_TORCH * N_DRUGS * N_DRUGS / dt
 
 
-def main():
+def rank_rate() -> float:
+    """Outcomes/s for the FULL rank-normalization pipeline on device:
+    score one outcome's [N, N] bilinear matrix + double-argsort rank +
+    normalize + symmetrize (eval/ranks.normalized_ranks_for_outcomes) --
+    the on-device replacement for the reference's 2-day/160 GB offline
+    normalize_scores.py pipeline (README.md:43, run_normalize_scores.sh)."""
+    import jax.numpy as jnp
+
+    from madrigal_tpu.eval.ranks import normalized_ranks_for_outcomes
+    from madrigal_tpu.models.decoder import symmetrize
+
+    _enable_compile_cache()
+    rng = np.random.RandomState(1)
+    z = jnp.asarray(rng.randn(N_DRUGS, FEAT).astype(np.float32))
+    w = symmetrize(
+        jnp.asarray(rng.randn(L_RANK_MEASURE, FEAT, FEAT).astype(np.float32))
+    )
+    out = normalized_ranks_for_outcomes(z, w)
+    float(jnp.max(out[0, 0, :8]))  # compile + completion-forcing read
+    t0 = time.perf_counter()
+    out = normalized_ranks_for_outcomes(z, w)
+    float(jnp.max(out[0, 0, :8]))
+    dt = time.perf_counter() - t0
+    return L_RANK_MEASURE / dt
+
+
+def numpy_rank_rate() -> float:
+    """Outcomes/s for the reference's offline CPU rank normalization
+    (notebooks/normalize_scores.py:36-74 math, one outcome)."""
+    rng = np.random.RandomState(1)
+    s = rng.randn(N_DRUGS, N_DRUGS).astype(np.float32)
+    n = N_DRUGS
+    t0 = time.perf_counter()
+    iu = np.triu_indices(n, k=0)
+    sc = s.astype(np.float64)
+    sc[iu] = np.inf
+    flat = sc.reshape(-1)
+    rank = flat.argsort().argsort() + 1
+    norm = (rank / (n * (n - 1) / 2)).reshape(n, n).astype(np.float32)
+    norm[iu] = 0.0
+    _ = norm + norm.T
+    dt = time.perf_counter() - t0
+    return 1.0 / dt
+
+
+def main(mode: str = "score"):
+    if mode == "rank":
+        rate = rank_rate()
+        base = numpy_rank_rate()
+        print(json.dumps({
+            "metric": "rank_normalized_outcomes_per_sec_per_chip",
+            "value": round(rate, 4),
+            "unit": "outcomes/s",
+            "vs_baseline": round(rate / base, 2),
+            "full_960_outcome_tensor_seconds_per_chip": round(960 / rate, 1),
+        }))
+        return
     rate = tpu_rate()
     base = torch_cpu_rate()
+    rrate = rank_rate()
+    rbase = numpy_rank_rate()
     print(json.dumps({
         "metric": "pair_outcome_scores_per_sec_per_chip",
         "value": round(rate, 1),
         "unit": "scores/s",
         "vs_baseline": round(rate / base, 2),
+        "rank_normalized_outcomes_per_sec_per_chip": round(rrate, 4),
+        "rank_vs_numpy_baseline": round(rrate / rbase, 2),
+        "rank_full_960_outcome_tensor_seconds_per_chip":
+            round(960 / rrate, 1),
     }))
 
 
 if __name__ == "__main__":
-    main()
+    main("rank" if "--rank" in sys.argv else "score")

@@ -69,7 +69,34 @@ def _direction_arrays(split: str, eval_type: str, batch: DDIBatch):
             hi2 = np.concatenate([hi, ti])
             ti2 = np.concatenate([ti, hi])
             return hi2, ti2, np.tile(lb, 2), np.tile(pn, 2), np.tile(m, 2)
+        # Remap through global drug ids so both directions can still be
+        # scored when the collator deduped each side separately.
+        tail_in_head = _rows_in_store(tail_g, heads_store)
+        head_in_tail = _rows_in_store(head_g, tails_store)
+        if tail_in_head is not None and head_in_tail is not None:
+            hi2 = np.concatenate([hi, tail_in_head])
+            ti2 = np.concatenate([ti, head_in_tail])
+            return hi2, ti2, np.tile(lb, 2), np.tile(pn, 2), np.tile(m, 2)
+        import warnings
+
+        warnings.warn(
+            f"bidirectional eval for asymmetric eval_type '{eval_type}' "
+            "skipped: unique head/tail stores differ and the reverse "
+            "direction's drugs are not all present in the opposite store; "
+            "scoring one direction only (reference undirects here, "
+            "evaluate.py:166)",
+            stacklevel=2,
+        )
     return hi, ti, lb, pn, m
+
+
+def _rows_in_store(global_ids: np.ndarray, store: np.ndarray):
+    """Rows of `store` holding each of `global_ids`, or None if any id is
+    absent from the store."""
+    lut = np.full(int(max(store.max(), global_ids.max())) + 1, -1, np.int64)
+    lut[store] = np.arange(len(store))
+    rows = lut[global_ids]
+    return rows if (rows >= 0).all() else None
 
 
 class Evaluator:

@@ -212,10 +212,18 @@ def make_predictions(
     return np.asarray(jax.nn.sigmoid(logits))
 
 
-def ensemble_sigmoid_mean(score_sets: Iterable[np.ndarray]) -> np.ndarray:
+def ensemble_sigmoid_mean(
+    score_sets: Iterable[np.ndarray], scores_are_logits: bool = True
+) -> np.ndarray:
     """Multi-checkpoint ensembling: mean of sigmoid scores
-    (predict.py:466-499)."""
+    (predict.py:466-499).
+
+    `scores_are_logits` is explicit: value-range sniffing would silently
+    treat a logit set that happens to land in [0, 1] as probabilities,
+    mixing spaces across ensemble members. Pass False when the inputs are
+    already sigmoided (e.g. make_predictions output).
+    """
     sets = [np.asarray(s) for s in score_sets]
-    sig = [1.0 / (1.0 + np.exp(-s)) if s.min() < 0 or s.max() > 1 else s
-           for s in sets]
-    return np.mean(sig, axis=0)
+    if scores_are_logits:
+        sets = [1.0 / (1.0 + np.exp(-s)) for s in sets]
+    return np.mean(sets, axis=0)

@@ -35,6 +35,15 @@ from .hgt import HGTEncoder
 from .mlp import MLPEncoder
 
 
+def _l2_normalize(x: jnp.ndarray) -> jnp.ndarray:
+    """L2-normalize with torch F.normalize's eps clamp: all-zero rows
+    (e.g. the explicitly-zeroed missing-KG token) stay zero instead of
+    becoming NaN (which would survive masked attention: 0 * NaN = NaN)."""
+    return x / jnp.maximum(
+        jnp.linalg.norm(x, axis=-1, keepdims=True), 1e-12
+    )
+
+
 class MadrigalEncoder(nn.Module):
     cfg: EncoderConfig
 
@@ -259,7 +268,7 @@ class MadrigalEncoder(nn.Module):
             )  # first available modality
             uni = jnp.einsum("bm,bmd->bd", onehot, all_embeds)
             if c.normalize:
-                uni = uni / jnp.linalg.norm(uni, axis=-1, keepdims=True)
+                uni = _l2_normalize(uni)
             return self.uni_projector(uni, train=train)
 
         if c.adapt_before_fusion:
@@ -301,7 +310,7 @@ class MadrigalEncoder(nn.Module):
                     [jnp.zeros((B, 1), dtype=bool), fusion_mask], axis=1
                 )
             if c.normalize:
-                seq = seq / jnp.linalg.norm(seq, axis=-1, keepdims=True)
+                seq = _l2_normalize(seq)
             seq = self.pos_encoder(seq, train=train)
             if return_attention:
                 # last-layer attention weights for analysis (the reference
@@ -321,7 +330,7 @@ class MadrigalEncoder(nn.Module):
                 onehot = avail * (jnp.cumsum(avail, axis=1) == 1.0)
                 uni = jnp.einsum("bm,bmd->bd", onehot, all_embeds)
                 if c.normalize:
-                    uni = uni / jnp.linalg.norm(uni, axis=-1, keepdims=True)
+                    uni = _l2_normalize(uni)
                 z_uni = self.uni_fuser(uni, train=train)
                 is_multi = jnp.sum(~masks, axis=1) > 1
                 z = jnp.where(is_multi[:, None], z_fusion, z_uni)
@@ -330,7 +339,7 @@ class MadrigalEncoder(nn.Module):
         elif c.fusion == "mean":
             e = all_embeds
             if c.normalize:
-                e = e / jnp.linalg.norm(e, axis=-1, keepdims=True)
+                e = _l2_normalize(e)
             keep = (~masks).astype(e.dtype)[..., None]
             z = jnp.sum(e * keep, axis=1) / jnp.maximum(
                 jnp.sum(keep, axis=1), 1.0
@@ -338,7 +347,7 @@ class MadrigalEncoder(nn.Module):
         elif c.fusion == "add":
             e = all_embeds
             if c.normalize:
-                e = e / jnp.linalg.norm(e, axis=-1, keepdims=True)
+                e = _l2_normalize(e)
             z = jnp.sum(e * (~masks).astype(e.dtype)[..., None], axis=1)
         else:
             raise NotImplementedError(c.fusion)
@@ -385,8 +394,8 @@ class MadrigalMultilabel(nn.Module):
         z_head = self.encoder.encode(head, kg_drug_table=table, train=train)
         z_tail = self.encoder.encode(tail, kg_drug_table=table, train=train)
         if self.decoder_normalize:
-            z_head = z_head / jnp.linalg.norm(z_head, axis=-1, keepdims=True)
-            z_tail = z_tail / jnp.linalg.norm(z_tail, axis=-1, keepdims=True)
+            z_head = _l2_normalize(z_head)
+            z_tail = _l2_normalize(z_tail)
         return z_head, z_tail
 
     def __call__(self, head, tail, kg, label_range=None, *, train=False):

@@ -143,26 +143,65 @@ def check_finite_loss(losses, context: str = "train"):
     return losses
 
 
+def _restored_child(r, key, path):
+    """Look up a template child in the orbax-restored plain tree by NAME
+    (namedtuple field / dict key) or position (tuple index, which orbax
+    stores as string integer keys)."""
+    if isinstance(r, dict):
+        for k in (key, str(key)):
+            if k in r:
+                return r[k]
+    elif isinstance(r, (tuple, list)) and isinstance(key, int):
+        if key < len(r):
+            return r[key]
+    raise KeyError(
+        f"restored checkpoint has no entry for template node "
+        f"'{'/'.join(map(str, path + (key,)))}' "
+        f"(restored keys here: {list(r) if isinstance(r, dict) else type(r)})"
+    )
+
+
 def restore_into(template, restored):
     """Re-impose `template`'s pytree structure (namedtuples, custom nodes)
     onto an orbax-restored plain-dict tree: orbax serializes optax states
     as nested dicts, so optimizer-state resume needs the original
-    structure back. Validates per-leaf shapes.
-    """
-    import jax
+    structure back.
 
-    t_leaves, t_def = jax.tree_util.tree_flatten(template)
-    r_leaves = jax.tree_util.tree_leaves(restored)
-    if len(t_leaves) != len(r_leaves):
-        raise ValueError(
-            f"leaf count mismatch: template {len(t_leaves)} vs "
-            f"restored {len(r_leaves)}"
-        )
-    out = []
-    for t, r in zip(t_leaves, r_leaves):
+    Matches children BY KEY PATH (namedtuple field names / dict keys /
+    tuple positions), not by flatten order: same-shaped sibling leaves
+    (e.g. adam's mu/nu) can never be silently swapped even if orbax's
+    dict ordering diverges from the namedtuple field order. Validates
+    per-leaf shapes.
+    """
+
+    def rec(t, r, path):
+        if t is None:
+            return None
+        if isinstance(t, dict):
+            return {
+                k: rec(v, _restored_child(r, k, path), path + (k,))
+                for k, v in t.items()
+            }
+        if hasattr(t, "_fields"):  # namedtuple (optax states)
+            vals = [
+                rec(getattr(t, f), _restored_child(r, f, path), path + (f,))
+                for f in t._fields
+            ]
+            return type(t)(*vals)
+        if isinstance(t, (tuple, list)):
+            vals = [
+                rec(v, _restored_child(r, i, path), path + (str(i),))
+                for i, v in enumerate(t)
+            ]
+            return type(t)(vals)
         ts = getattr(t, "shape", None)
         rs = getattr(r, "shape", None)
         if ts != rs:
-            raise ValueError(f"leaf shape mismatch: {ts} vs {rs}")
-        out.append(r)
-    return jax.tree_util.tree_unflatten(t_def, out)
+            raise ValueError(
+                f"leaf shape mismatch at "
+                f"'{'/'.join(map(str, path))}': template {ts} vs "
+                f"restored {rs}"
+            )
+        return r
+
+    return rec(template, restored, ())

@@ -30,12 +30,24 @@ def annotate(name: str):
         yield
 
 
-class StepTimer:
-    """Wall-clock step timing with a device-sync read at each boundary
-    (this environment's async dispatch makes naive timing meaningless --
-    see .claude/skills/verify/SKILL.md gotchas)."""
+def _force_completion(result) -> None:
+    """Synchronize by reading one scalar of each array leaf back to the
+    host (not block_until_ready: see class docstring above)."""
+    import numpy as np
 
-    def __init__(self, sync_value=None):
+    for leaf in jax.tree_util.tree_leaves(result):
+        if hasattr(leaf, "shape"):
+            flat = leaf.reshape(-1) if getattr(leaf, "ndim", 0) else leaf
+            float(np.asarray(flat[0] if getattr(leaf, "ndim", 0) else flat))
+
+
+class StepTimer:
+    """Wall-clock step timing ended by a device->host read (async dispatch
+    makes naive timing meaningless, and on the axon backend
+    block_until_ready can return before execution finishes -- CLAUDE.md;
+    a small scalar read is the only reliable completion barrier)."""
+
+    def __init__(self):
         self.times = []
         self._t0 = None
 
@@ -44,7 +56,7 @@ class StepTimer:
 
     def stop(self, result=None) -> float:
         if result is not None:
-            jax.block_until_ready(result)
+            _force_completion(result)
         dt = time.perf_counter() - self._t0
         self.times.append(dt)
         return dt

@@ -132,3 +132,55 @@ def test_logging_utils(tmp_path):
     rows = [json.loads(l) for l in
             open(tmp_path / "r_metrics.jsonl").read().splitlines()]
     assert rows[0]["a"] == 1.5 and rows[1]["_step"] == 1
+
+
+def test_restore_into_matches_by_key_not_order():
+    """Same-shaped optimizer leaves (adam mu/nu) must pair by FIELD NAME:
+    a restored dict whose key order differs from the namedtuple field
+    order restores correctly (ADVICE r1: flatten-order pairing was latent
+    fragility)."""
+    from collections import namedtuple
+
+    import numpy as np
+
+    from madrigal_tpu.train.checkpoint import restore_into
+
+    State = namedtuple("State", ["count", "mu", "nu"])
+    tmpl = (State(np.zeros([], np.int32),
+                  {"w": np.zeros((2, 2))}, {"w": np.zeros((2, 2))}),)
+    mu = {"w": np.full((2, 2), 1.0)}
+    nu = {"w": np.full((2, 2), 2.0)}
+    # deliberately adversarial key order: nu before mu, tuple key as str
+    restored = {"0": {"nu": nu, "mu": mu, "count": np.asarray(7, np.int32)}}
+    out = restore_into(tmpl, restored)
+    assert int(out[0].count) == 7
+    np.testing.assert_array_equal(out[0].mu["w"], mu["w"])
+    np.testing.assert_array_equal(out[0].nu["w"], nu["w"])
+
+    # missing key -> loud error naming the path
+    import pytest
+
+    with pytest.raises(KeyError, match="mu"):
+        restore_into(tmpl, {"0": {"nu": nu, "count": np.asarray(7)}})
+    # shape mismatch -> loud error
+    with pytest.raises(ValueError, match="shape"):
+        restore_into(
+            tmpl,
+            {"0": {"nu": nu, "mu": {"w": np.zeros(3)},
+                   "count": np.asarray(7, np.int32)}},
+        )
+
+
+def test_l2_normalize_zero_rows_stay_zero():
+    """All-zero tokens (missing-KG row) must not become NaN under
+    cfg.normalize=True (torch F.normalize eps semantics)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from madrigal_tpu.models.encoder import _l2_normalize
+
+    x = jnp.asarray(np.array([[0.0, 0.0], [3.0, 4.0]], np.float32))
+    out = np.asarray(_l2_normalize(x))
+    assert np.isfinite(out).all()
+    np.testing.assert_allclose(out[0], 0.0)
+    np.testing.assert_allclose(out[1], [0.6, 0.8], atol=1e-6)

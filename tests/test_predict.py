@@ -119,3 +119,15 @@ def test_ensemble_sigmoid_mean(rng):
     out = ensemble_sigmoid_mean([a, b])
     sig = lambda x: 1 / (1 + np.exp(-x))
     np.testing.assert_allclose(out, (sig(a) + sig(b)) / 2, atol=1e-12)
+    # explicit flag: already-sigmoided inputs are averaged untouched --
+    # even logits that happen to land inside [0, 1] get the sigmoid when
+    # scores_are_logits=True (no value-range sniffing)
+    pa, pb = sig(a), sig(b)
+    np.testing.assert_allclose(
+        ensemble_sigmoid_mean([pa, pb], scores_are_logits=False),
+        (pa + pb) / 2, atol=1e-12,
+    )
+    in_unit = np.abs(a) * 0.4 + 0.1  # logits inside [0, 1]
+    np.testing.assert_allclose(
+        ensemble_sigmoid_mean([in_unit]), sig(in_unit), atol=1e-12,
+    )
