@@ -42,6 +42,16 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--all_train", action="store_true",
                    help="train on the union of all splits "
                         "(train_ddi_batch_all_train.py analog)")
+    p.add_argument("--resume", type=str, default=None,
+                   help="finetune checkpoint to resume from (restores "
+                        "params, batch stats, optimizer state, epoch)")
+    p.add_argument("--patience", type=int, default=None,
+                   help="early-stopping patience in eval intervals on the "
+                        "val key metric (off when unset)")
+    p.add_argument("--eval_types", type=str, default=None,
+                   help="comma-separated eval-type override; default sweeps "
+                        "the full per-split SPLIT_EVAL_TYPES lists "
+                        "(reference evaluate.py:39-247)")
     return p
 
 
@@ -86,7 +96,8 @@ def main(argv=None):
         from ..data.datasets import load_reference_dataset
 
         splits = {}
-        for sp in ("val", "test"):
+        for sp in ("val", "test", "val_between", "val_within",
+                   "test_between", "test_within"):
             try:
                 sds = load_reference_dataset(
                     args.data_dir, split_method=args.split_method, split=sp)
@@ -148,56 +159,131 @@ def main(argv=None):
         logger.info(f"warm-started encoders from {args.checkpoint} "
                     f"(epoch {meta['epoch']})")
 
+    start_epoch = 0
+    if args.resume:
+        import jax.numpy as jnp
+
+        from ..train.checkpoint import restore_into
+
+        tree, meta = load_checkpoint(args.resume)
+        trainer.state = TrainState(
+            params=tree["params"],
+            batch_stats=tree.get("batch_stats", {}),
+            opt_state=(restore_into(trainer.state.opt_state,
+                                    tree["opt_state"])
+                       if tree.get("opt_state") is not None
+                       else trainer.state.opt_state),
+            epoch=jnp.asarray(meta["epoch"], jnp.int32),
+        )
+        start_epoch = int(meta["epoch"])
+        logger.info(f"resumed from {args.resume} at epoch {start_epoch}")
+
     evaluator = Evaluator(trainer.model, cfg.finetune_mode, task=cfg.task,
                           logger=logger)
-    best_key = -1e8
-    best_epoch = None
-    from ..train.checkpoint import check_finite_loss
+    eval_types = (
+        [t for t in args.eval_types.split(",") if t]
+        if args.eval_types else None
+    )
 
-    for epoch in range(cfg.num_epochs):
+    # build the eval batches once (the reference builds each split's full
+    # batch once up front, train_ddi_batch.py:115-117)
+    from ..data.collate import DDICollator as _C
+
+    eval_batches = {}
+    if splits is not None:
+        for name, df in splits.items():
+            if name == "train" or not len(df):
+                continue
+            eval_batches[name] = _C(ds, split=name, seed=args.seed)(df)[0]
+    val_splits = [n for n in eval_batches if n.startswith("val")]
+    test_splits = [n for n in eval_batches if n.startswith("test")]
+
+    from ..train.checkpoint import EarlyStopping, check_finite_loss
+
+    stopper = EarlyStopping(args.patience) if args.patience else None
+    best_key = -1e8
+    best_within_key = -1e8
+    best_epoch = None
+    best_within_epoch = None
+
+    def run_eval_sweep(epoch):
+        """Full per-split eval-type sweep (reference evaluate.py:39-247:
+        every eval type in SPLIT_EVAL_TYPES per split, each
+        evaluate_interval). Returns (val key, val_within key)."""
+        nonlocal best_key, best_within_key, best_epoch, best_within_epoch
+        variables = {"params": trainer.state.params,
+                     "batch_stats": trainer.state.batch_stats}
+        key = within_key = None
+        if val_splits:
+            for name in val_splits:
+                k = evaluator.evaluate_ft(
+                    variables, eval_batches[name], kg, name,
+                    eval_types=eval_types)
+                mlog.log({f"{name}_key_auprc": k}, step=epoch)
+                if "within" in name:
+                    within_key = k
+                else:
+                    key = k
+            if key is None:  # only between/within splits exist
+                key = within_key
+        else:
+            key = evaluator.evaluate_ft(
+                variables, batch, kg, "train",
+                eval_types=eval_types or ["full_full", "str_str"])
+            mlog.log({"train_key_auprc": key}, step=epoch)
+        if key is not None and key > best_key:
+            best_key, best_epoch = key, epoch
+            save_checkpoint(
+                os.path.join(args.save_dir, "best_model"),
+                trainer.state.params, trainer.state.batch_stats, cfg,
+                epoch=epoch, opt_state=trainer.state.opt_state,
+            )
+            logger.info(f"new best auprc {key:.4f} @ epoch {epoch}")
+        if within_key is not None and within_key > best_within_key:
+            best_within_key, best_within_epoch = within_key, epoch
+            save_checkpoint(
+                os.path.join(args.save_dir, "best_within_model"),
+                trainer.state.params, trainer.state.batch_stats, cfg,
+                epoch=epoch, opt_state=trainer.state.opt_state,
+            )
+            logger.info(
+                f"new best within auprc {within_key:.4f} @ epoch {epoch}")
+        return key
+
+    stopped = False
+    for epoch in range(start_epoch, cfg.num_epochs):
         losses = check_finite_loss(trainer.train_epoch())
         mlog.log({f"train_{k}": v for k, v in losses.items()}, step=epoch)
         logger.info(f"epoch {epoch + 1}/{cfg.num_epochs}: "
                     f"loss={losses['total']:.4f}")
         if epoch % cfg.evaluate_interval == 0 and epoch > 0:
-            variables = {"params": trainer.state.params,
-                         "batch_stats": trainer.state.batch_stats}
-            if splits is not None and "val" in splits and len(splits["val"]):
-                from ..data.collate import DDICollator as _C
+            key = run_eval_sweep(epoch)
+            # resumable snapshot (params + optimizer state + epoch)
+            save_checkpoint(
+                os.path.join(args.save_dir, "last_model"),
+                trainer.state.params, trainer.state.batch_stats, cfg,
+                epoch=epoch + 1, opt_state=trainer.state.opt_state,
+            )
+            if stopper is not None and stopper(key):
+                logger.info(
+                    f"early stop @ epoch {epoch}: no val improvement in "
+                    f"{args.patience} eval intervals")
+                stopped = True
+                break
 
-                val_batch, _ = _C(ds, split="val", seed=args.seed)(
-                    splits["val"])
-                key = evaluator.evaluate_ft(
-                    variables, val_batch, kg, "val",
-                    eval_types=["full_full", "str_str"])
-                mlog.log({"val_key_auprc": key}, step=epoch)
-            else:
-                key = evaluator.evaluate_ft(
-                    variables, batch, kg, "train",
-                    eval_types=["full_full", "str_str"])
-                mlog.log({"train_full_full_auprc": key}, step=epoch)
-            if key > best_key:
-                best_key = key
-                best_epoch = epoch
-                save_checkpoint(
-                    os.path.join(args.save_dir, "best_model"),
-                    trainer.state.params, trainer.state.batch_stats, cfg,
-                    epoch=epoch,
-                )
-                logger.info(f"new best auprc {key:.4f} @ epoch {epoch}")
+    if not stopped:
+        save_checkpoint(
+            os.path.join(args.save_dir, "last_model"),
+            trainer.state.params, trainer.state.batch_stats, cfg,
+            epoch=cfg.num_epochs, opt_state=trainer.state.opt_state,
+        )
+    logger.info(f"done; best auprc {best_key:.4f} @ epoch {best_epoch}; "
+                f"best within {best_within_key:.4f} @ "
+                f"epoch {best_within_epoch}")
 
-    save_checkpoint(
-        os.path.join(args.save_dir, "last_model"),
-        trainer.state.params, trainer.state.batch_stats, cfg,
-        epoch=cfg.num_epochs,
-    )
-    logger.info(f"done; best auprc {best_key:.4f} @ epoch {best_epoch}")
-
-    if args.test and splits is not None and "test" in splits and \
-            len(splits["test"]):
+    if args.test and test_splits:
         # reference predict.test analog: reload the best checkpoint and run
         # the full test-split eval sweep (predict.py:15-170)
-        from ..data.collate import DDICollator as _C
         from ..eval.predict import model_from_checkpoint
 
         best_path = os.path.join(args.save_dir, "best_model")
@@ -205,13 +291,13 @@ def main(argv=None):
             model, variables, _ = model_from_checkpoint(best_path)
             test_eval = Evaluator(model, cfg.finetune_mode, task=cfg.task,
                                   logger=logger)
-            test_batch, _ = _C(ds, split="test", seed=args.seed)(
-                splits["test"])
-            test_key = test_eval.evaluate_ft(
-                variables, test_batch, kg, "test",
-                eval_types=["full_full", "str_str"])
-            logger.info(f"test key auprc (best model): {test_key:.4f}")
-            mlog.log({"test_key_auprc": test_key})
+            for name in test_splits:
+                test_key = test_eval.evaluate_ft(
+                    variables, eval_batches[name], kg, name,
+                    eval_types=eval_types)
+                logger.info(
+                    f"{name} key auprc (best model): {test_key:.4f}")
+                mlog.log({f"{name}_key_auprc_best": test_key})
     mlog.finish()
     return best_key
 

@@ -43,6 +43,26 @@ def test_directedness_assertion(tmp_path):
         load_reference_dataset(root)
 
 
+TINY_MODEL_FLAGS = [
+    "--set", "model.encoder.feature_dim=16",
+    "--set", "model.encoder.gin.hidden_dims=[16,16]",
+    "--set", "model.encoder.gin.num_mlp_layer=2",
+    "--set", "model.encoder.hgt.hidden_dim=8",
+    "--set", "model.encoder.hgt.att_heads=2",
+    "--set", "model.encoder.cv.hidden_dims=[32,16]",
+    "--set", "model.encoder.chemcpa.dim=16",
+    "--set", "model.encoder.chemcpa.autoencoder_width=32",
+    "--set", "model.encoder.chemcpa.autoencoder_depth=1",
+    "--set", "model.encoder.transformer.num_layers=1",
+    "--set", "model.encoder.transformer.att_heads=2",
+    "--set", "model.encoder.transformer.head_dim=8",
+    "--set", "model.encoder.transformer.ffn_dim=32",
+    "--set", "model.encoder.transformer.num_tx_bottlenecks=2",
+    "--set", "model.encoder.proj.hidden_dims=[32,32]",
+    "--set", "model.encoder.pos_emb_type=sinusoidal",
+]
+
+
 def test_cli_train_and_predict(tmp_path):
     from madrigal_tpu.cli.predict import main as predict_main
     from madrigal_tpu.cli.train_ddi import main as train_main
@@ -53,23 +73,7 @@ def test_cli_train_and_predict(tmp_path):
         "--synthetic_edges", "16", "--num_epochs", "6",
         "--evaluate_interval", "2", "--warmup_epochs", "1",
         "--save_dir", save, "--platform", "cpu",
-        "--set", "model.encoder.feature_dim=16",
-        "--set", "model.encoder.gin.hidden_dims=[16,16]",
-        "--set", "model.encoder.gin.num_mlp_layer=2",
-        "--set", "model.encoder.hgt.hidden_dim=8",
-        "--set", "model.encoder.hgt.att_heads=2",
-        "--set", "model.encoder.cv.hidden_dims=[32,16]",
-        "--set", "model.encoder.chemcpa.dim=16",
-        "--set", "model.encoder.chemcpa.autoencoder_width=32",
-        "--set", "model.encoder.chemcpa.autoencoder_depth=1",
-        "--set", "model.encoder.transformer.num_layers=1",
-        "--set", "model.encoder.transformer.att_heads=2",
-        "--set", "model.encoder.transformer.head_dim=8",
-        "--set", "model.encoder.transformer.ffn_dim=32",
-        "--set", "model.encoder.transformer.num_tx_bottlenecks=2",
-        "--set", "model.encoder.proj.hidden_dims=[32,32]",
-        "--set", "model.encoder.pos_emb_type=sinusoidal",
-    ])
+    ] + TINY_MODEL_FLAGS)
     assert np.isfinite(key)
     assert os.path.exists(os.path.join(save, "last_model"))
     assert os.path.exists(os.path.join(save, "train_ddi.log"))
@@ -86,3 +90,60 @@ def test_cli_train_and_predict(tmp_path):
     assert len(scores) == 2 and np.isfinite(scores).all()
     z = np.load(emb_path)
     assert z.shape == (12, 16)
+
+
+def test_cli_resume_mid_run(tmp_path):
+    """--resume restores params + optimizer state + epoch and continues to
+    num_epochs (reference has no finetune resume at all; pretrain.py:185-194
+    pattern applied to stage 3)."""
+    import json
+
+    from madrigal_tpu.cli.train_ddi import main as train_main
+
+    save = str(tmp_path / "out")
+    common = [
+        "--synthetic", "--synthetic_drugs", "12", "--synthetic_labels", "4",
+        "--synthetic_edges", "16", "--evaluate_interval", "2",
+        "--warmup_epochs", "1", "--save_dir", save, "--platform", "cpu",
+    ] + TINY_MODEL_FLAGS
+    train_main(common + ["--num_epochs", "5"])
+    last = os.path.join(save, "last_model")
+    with open(os.path.join(last, "madrigal_meta.json")) as f:
+        assert json.load(f)["epoch"] == 5
+
+    key = train_main(common + ["--num_epochs", "8", "--resume", last])
+    assert np.isfinite(key)
+    with open(os.path.join(last, "madrigal_meta.json")) as f:
+        assert json.load(f)["epoch"] == 8
+    # metric log shows the resumed run trained epochs 5..7 only
+    steps = []
+    with open(os.path.join(save, "train_ddi_metrics.jsonl")) as f:
+        for line in f:
+            rec = json.loads(line)
+            if "train_total" in rec:
+                steps.append(rec["_step"])
+    # run 1 trained epochs 0-4; the resumed run continued at 5 (no repeats)
+    assert steps == list(range(8))
+
+
+def test_cli_between_within_sweep_and_early_stop(tmp_path):
+    """split_by_drugs produces between/within splits; the eval sweep covers
+    them (full SPLIT_EVAL_TYPES per split), tracks best_within, and
+    --patience early-stops."""
+    from madrigal_tpu.cli.train_ddi import main as train_main
+
+    save = str(tmp_path / "out")
+    key = train_main([
+        "--synthetic", "--synthetic_drugs", "14", "--synthetic_labels", "4",
+        "--synthetic_edges", "40", "--num_epochs", "9",
+        "--evaluate_interval", "2", "--warmup_epochs", "1",
+        "--split_method", "split_by_drugs_random", "--patience", "1",
+        "--save_dir", save, "--platform", "cpu", "--test",
+    ] + TINY_MODEL_FLAGS)
+    assert np.isfinite(key)
+    log = open(os.path.join(save, "train_ddi.log")).read()
+    # between/within sweeps ran with their SPLIT_EVAL_TYPES lists
+    assert "val_between full_full" in log
+    assert "val_between str_full" in log  # between-only eval type
+    if "val_within" in log:
+        assert "val_within str+tx_str+tx" in log  # within-only eval type
