@@ -86,11 +86,23 @@ class GATConfig:
 
 @dataclass(frozen=True)
 class HGTConfig:
-    """KG encoder. Reference: parse_args.py:52-55."""
+    """KG encoder. Reference: parse_args.py:52-55.
+
+    softmax_scope selects the attention normalization semantics, which
+    changed between PyG versions (the reference's code passes group='sum',
+    the PyG <=2.2 API, while its env pins torch-geometric 2.3.1 whose
+    rewritten HGTConv removed `group` and normalizes globally):
+      * 'per_edge_type' (default): softmax over each edge type's incoming
+        edges separately, then `group`-aggregate across edge types
+        (PyG <=2.2 HGTConv).
+      * 'global': one softmax over ALL incoming edges of a destination
+        node across edge types, summed (PyG 2.3.x HGTConv).
+    """
     hidden_dim: int = 128
     num_layers: int = 2
     att_heads: int = 4
     group: str = "sum"
+    softmax_scope: str = "per_edge_type"
 
 
 @dataclass(frozen=True)

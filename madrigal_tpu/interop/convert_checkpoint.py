@@ -18,14 +18,20 @@ component converters in torch_convert.py:
   decoder.parametrizations.weight.original           (exact; our stored
                                                       weight symmetrizes
                                                       identically)
-  encoder.kg_encoder.*         PyG HGTConv           (best effort: PyG's
-                                                      internal layout varies
-                                                      by version -- the
-                                                      'pyg23' mapping below
-                                                      documents the assumed
-                                                      2.3.x layout; verify
-                                                      numerics against your
-                                                      install before use)
+  encoder.kg_encoder.*         PyG HGTConv           (exact for both PyG
+                                                      API generations: the
+                                                      2.3.x layout+semantics
+                                                      via convert_hgt_pyg23
+                                                      + softmax_scope=
+                                                      'global', the <=2.2
+                                                      layout via
+                                                      convert_hgt_pyg22 +
+                                                      the default per-edge-
+                                                      type scope; each is
+                                                      parity-tested against
+                                                      a key-exact torch
+                                                      replica, tests/
+                                                      pyg_hgt_replicas.py)
 
 Missing modules (e.g. fusion dropped by the CL->finetune filter) keep
 their fresh initialization, mirroring load_state_dict(strict=False).
@@ -52,19 +58,27 @@ def convert_hgt_pyg23(sd: Dict, node_types, edge_types, num_layers: int,
                       heads: int, hidden: int) -> dict:
     """PyG 2.3.x HGTConv state_dict -> our HGTEncoder params.
 
-    Assumed torch layout per conv i:
+    Torch layout per conv i (enforced by the key-exact replica fixture in
+    tests/pyg_hgt_replicas.py -- the test fails if these assumptions
+    drift):
       convs.{i}.kqv_lin.lins.{nt}.weight [3F, in], .bias [3F]
+          (HeteroDictLinear; output thirds are k|q|v in order)
       convs.{i}.out_lin.lins.{nt}.weight [F, F], .bias [F]
-      convs.{i}.k_rel.weight [R*H, D, D] (HeteroLinear; type index =
-          edge_type_index * heads + head), convs.{i}.v_rel.weight likewise
+      convs.{i}.k_rel.weight [H*R, D, D] (HeteroLinear applied as
+          x @ weight[type]; type index = head * num_edge_types +
+          edge_type_index, per HGTConv._construct_src_node_feat's
+          `type_vec = arange(H).view(-1,1).repeat(1,N) * num_edge_types +
+          edge_type_offset`), convs.{i}.v_rel.weight likewise
       convs.{i}.skip.{nt} [1]
       convs.{i}.p_rel.{'__'.join(edge_type)} [1, H]
       lin_dict.{nt}.weight/bias (output head)
+    Use with HGTConfig(softmax_scope='global'): the 2.3 rewrite softmaxes
+    over all incoming edges of a destination node across edge types.
     Raises KeyError listing what is missing when the layout differs.
     """
     from ..data.kg import edge_key
 
-    D = hidden // heads
+    R = len(edge_types)
     params: dict = {}
     missing: List[str] = []
 
@@ -96,10 +110,11 @@ def convert_hgt_pyg23(sd: Dict, node_types, edge_types, num_layers: int,
         v_rel = grab(f"convs.{i}.v_rel.weight")
         for ei, et in enumerate(edge_types):
             ek = edge_key(tuple(et))
+            rows = np.arange(heads) * R + ei  # head-major type indexing
             if k_rel is not None:
-                layer[f"k_rel__{ek}"] = k_rel[ei * heads:(ei + 1) * heads]
+                layer[f"k_rel__{ek}"] = k_rel[rows]
             if v_rel is not None:
-                layer[f"v_rel__{ek}"] = v_rel[ei * heads:(ei + 1) * heads]
+                layer[f"v_rel__{ek}"] = v_rel[rows]
             p = grab(f"convs.{i}.p_rel.{'__'.join(et)}")
             if p is not None:
                 layer[f"p_rel__{ek}"] = p.reshape(-1)
@@ -113,6 +128,83 @@ def convert_hgt_pyg23(sd: Dict, node_types, edge_types, num_layers: int,
         raise KeyError(
             "PyG HGT layout mismatch; missing keys (first 10): "
             f"{missing[:10]} -- adapt convert_hgt_pyg23 to your PyG version"
+        )
+    return params
+
+
+def convert_hgt_pyg22(sd: Dict, node_types, edge_types, num_layers: int,
+                      heads: int, hidden: int) -> dict:
+    """PyG <=2.2 HGTConv state_dict -> our HGTEncoder params.
+
+    The pre-rewrite layout (the API surface the reference's code text
+    targets -- it passes group='sum', which only the <=2.2 HGTConv
+    accepts). Torch layout per conv i:
+      convs.{i}.k_lin.{nt}.weight [F, in], .bias [F] (q_lin/v_lin same)
+      convs.{i}.a_lin.{nt}.weight [F, F], .bias [F]
+      convs.{i}.skip.{nt} [1]
+      convs.{i}.a_rel.{ek} [H, D, D] (k transform; applied k^T @ a_rel)
+      convs.{i}.m_rel.{ek} [H, D, D] (v transform)
+      convs.{i}.p_rel.{ek} [H]
+      lin_dict.{nt}.weight/bias
+    Use with HGTConfig(softmax_scope='per_edge_type') (the default).
+    """
+    from ..data.kg import edge_key
+
+    params: dict = {}
+    missing: List[str] = []
+
+    def grab(key):
+        if key not in sd:
+            missing.append(key)
+            return None
+        return _np(sd[key])
+
+    for i in range(num_layers):
+        layer: dict = {}
+        for nt in node_types:
+            ws = [grab(f"convs.{i}.{lin}.{nt}.weight")
+                  for lin in ("k_lin", "q_lin", "v_lin")]
+            bs = [grab(f"convs.{i}.{lin}.{nt}.bias")
+                  for lin in ("k_lin", "q_lin", "v_lin")]
+            if all(w is not None for w in ws):
+                layer[f"kqv__{nt}"] = {
+                    "kernel": np.concatenate([w.T for w in ws], axis=1),
+                    "bias": np.concatenate([
+                        b if b is not None else np.zeros(w.shape[0],
+                                                         np.float32)
+                        for w, b in zip(ws, bs)
+                    ]),
+                }
+            w = grab(f"convs.{i}.a_lin.{nt}.weight")
+            b = grab(f"convs.{i}.a_lin.{nt}.bias")
+            if w is not None:
+                layer[f"out__{nt}"] = {"kernel": w.T,
+                                       "bias": b if b is not None else
+                                       np.zeros(w.shape[0], np.float32)}
+            s = grab(f"convs.{i}.skip.{nt}")
+            if s is not None:
+                layer[f"skip__{nt}"] = s.reshape(1)
+        for et in edge_types:
+            ek = edge_key(tuple(et))
+            a = grab(f"convs.{i}.a_rel.{ek}")
+            m = grab(f"convs.{i}.m_rel.{ek}")
+            p = grab(f"convs.{i}.p_rel.{ek}")
+            if a is not None:
+                layer[f"k_rel__{ek}"] = a
+            if m is not None:
+                layer[f"v_rel__{ek}"] = m
+            if p is not None:
+                layer[f"p_rel__{ek}"] = p.reshape(-1)
+        params[f"conv_{i}"] = layer
+    for nt in node_types:
+        w = grab(f"lin_dict.{nt}.weight")
+        b = grab(f"lin_dict.{nt}.bias")
+        if w is not None and nt == "drug":
+            params["lin__drug"] = {"kernel": w.T, "bias": b}
+    if missing:
+        raise KeyError(
+            "PyG <=2.2 HGT layout mismatch; missing keys (first 10): "
+            f"{missing[:10]}"
         )
     return params
 

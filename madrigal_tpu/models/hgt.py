@@ -5,14 +5,20 @@ TPU-native re-implementation of the reference's PyG HGTConv stack
 layers; default 2 layers, hidden 128, 4 heads, group='sum' --
 parse_args.py:52-55).
 
-Per-layer math (PyG 2.3 HGTConv semantics):
+Per-layer math:
   per node type t:  [k|q|v] = x_t @ W_kqv_t          ([N_t, 3F] -> H heads)
   per edge type r=(s,rel,d), per head h:
       k' = k_s @ K_rel[r,h],  v' = v_s @ V_rel[r,h]   (node-level transforms)
       alpha_e = (q_d[dst_e] . k'[src_e]) * p_rel[r,h] / sqrt(D)
-      alpha   = segment_softmax(alpha_e over dst_e)
-      m_d    += segment_sum(alpha * v'[src_e])        (group='sum' over edge
-                                                       types; mean/max opt.)
+  softmax_scope='per_edge_type' (PyG <=2.2 HGTConv, the API the reference's
+  code text uses via group='sum'):
+      alpha = segment_softmax(alpha_e over dst_e)     per edge type
+      m_d   = group-aggregate of per-edge-type segment sums
+  softmax_scope='global' (PyG 2.3.x HGTConv -- the version the reference's
+  env pins; its rewrite softmaxes over ALL incoming edges of a dst node
+  across edge types, equivalent to one bipartite propagate):
+      alpha = segment_softmax(concat of all edge types' alpha_e over dst_e)
+      m_d   = segment_sum(alpha * v')
   per node type t:  out = a_lin_t(gelu(m_t)); g = sigmoid(skip_t);
                     out = g * out + (1 - g) * x_t  (when dims match)
 
@@ -35,6 +41,7 @@ class HGTConv(nn.Module):
     out_channels: int
     heads: int
     group: str = "sum"
+    softmax_scope: str = "per_edge_type"
 
     @nn.compact
     def __call__(self, g: HeteroKGBatch, x_dict: Dict[str, jnp.ndarray]):
@@ -51,7 +58,9 @@ class HGTConv(nn.Module):
             q_dict[nt] = q.reshape(-1, H, D)
             v_dict[nt] = v.reshape(-1, H, D)
 
+        # per-edge-type logits + transformed values
         agg: Dict[str, list] = {nt: [] for nt in g.metadata.node_types}
+        pending: Dict[str, list] = {nt: [] for nt in g.metadata.node_types}
         for et in g.metadata.edge_types:
             src_t, _, dst_t = et
             ek = edge_key(et)
@@ -78,10 +87,31 @@ class HGTConv(nn.Module):
                 * p_rel[None, :]
                 / jnp.sqrt(jnp.asarray(D, jnp.float32))
             )  # [E, H]
+            if self.softmax_scope == "global":
+                pending[dst_t].append((logits, v_s[src], dst_safe, mask))
+                continue
             alpha = segment_softmax(logits, dst_safe, n_dst, mask=mask)
             msg = v_s[src] * alpha[..., None]  # [E, H, D]
             out = segment_sum(msg, dst_safe, n_dst).reshape(n_dst, F)
             agg[dst_t].append(out)
+
+        if self.softmax_scope == "global":
+            # PyG 2.3 semantics: one softmax over the concatenation of all
+            # edge types' incoming edges per destination node (the single
+            # bipartite propagate of the rewritten HGTConv)
+            for nt, items in pending.items():
+                if not items:
+                    continue
+                n_dst = g.num_nodes(nt)
+                logits = jnp.concatenate([it[0] for it in items], axis=0)
+                vals = jnp.concatenate([it[1] for it in items], axis=0)
+                dsts = jnp.concatenate([it[2] for it in items], axis=0)
+                masks = jnp.concatenate([it[3] for it in items], axis=0)
+                alpha = segment_softmax(logits, dsts, n_dst, mask=masks)
+                msg = vals * alpha[..., None]
+                agg[nt].append(
+                    segment_sum(msg, dsts, n_dst).reshape(n_dst, F)
+                )
 
         out_dict = {}
         for nt in g.metadata.node_types:
@@ -90,7 +120,7 @@ class HGTConv(nn.Module):
                 out_dict[nt] = x
                 continue
             stacked = jnp.stack(agg[nt])
-            if self.group == "sum":
+            if self.softmax_scope == "global" or self.group == "sum":
                 m = jnp.sum(stacked, axis=0)
             elif self.group == "mean":
                 m = jnp.mean(stacked, axis=0)
@@ -122,7 +152,10 @@ class HGTEncoder(nn.Module):
         for i in range(self.cfg.num_layers):
             x = HGTConv(
                 out_channels=self.cfg.hidden_dim, heads=self.cfg.att_heads,
-                group=self.cfg.group, name=f"conv_{i}",
+                group=self.cfg.group,
+                softmax_scope=getattr(self.cfg, "softmax_scope",
+                                      "per_edge_type"),
+                name=f"conv_{i}",
             )(g, x)
             # reference relu placement (models.py:90-94): relu after conv i
             # for 1 <= i <= num_layers-2 (never after conv 0 or the last)

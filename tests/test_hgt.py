@@ -145,3 +145,92 @@ def test_remove_edges_and_lookup(rng):
     lut = drug_row_lookup(np.array([3, 7, 9]), 12)
     assert lut[3] == 0 and lut[7] == 1 and lut[9] == 2
     assert lut[0] == -1
+
+
+def _metadata(edges):
+    return (["drug", "protein"], [tuple(e) for e in edges])
+
+
+def test_pyg23_layout_key_exact_and_converter_parity(rng):
+    """convert_hgt_pyg23 decodes the EXACT PyG 2.3.x state_dict layout
+    (key-set equality enforced) and HGTEncoder(softmax_scope='global')
+    reproduces the replica's forward numerics (the reference's env pins
+    torch-geometric 2.3.1, whose rewritten HGTConv normalizes attention
+    globally across edge types)."""
+    import torch as _t
+
+    from madrigal_tpu.interop.convert_checkpoint import convert_hgt_pyg23
+    from pyg_hgt_replicas import (
+        HGTConvPyG23,
+        HGTPyGReplica,
+        expected_pyg23_keys,
+    )
+
+    node_feats, edges = small_kg(rng, f_in=16)
+    metadata = _metadata(edges)
+    _t.manual_seed(0)
+    replica = HGTPyGReplica(16, 16, 8, 2, 4, metadata, HGTConvPyG23)
+    sd = replica.state_dict()
+    assert set(sd) == expected_pyg23_keys(metadata[0], metadata[1], 2)
+
+    x_t = {nt: _t.from_numpy(v) for nt, v in node_feats.items()}
+    ref = replica(x_t, edges)["drug"].numpy()
+
+    params = convert_hgt_pyg23(sd, metadata[0], metadata[1],
+                               num_layers=2, heads=4, hidden=16)
+    cfg = HGTConfig(hidden_dim=16, num_layers=2, att_heads=4,
+                    softmax_scope="global")
+    model = HGTEncoder(cfg=cfg, embed_dim=8, drug_only_head=True)
+    batch = build_kg_batch(node_feats, edges, drug_ids=np.arange(10))
+    out = model.apply({"params": params}, batch, train=False)["drug"]
+    np.testing.assert_allclose(np.asarray(out), ref, atol=1e-5, rtol=1e-5)
+
+
+def test_pyg22_layout_key_exact_and_converter_parity(rng):
+    """convert_hgt_pyg22 decodes the <=2.2 layout (the group='sum' API the
+    reference's code text uses) and the default per-edge-type softmax
+    reproduces its forward."""
+    import torch as _t
+
+    from madrigal_tpu.interop.convert_checkpoint import convert_hgt_pyg22
+    from pyg_hgt_replicas import (
+        HGTConvPyG22,
+        HGTPyGReplica,
+        expected_pyg22_keys,
+    )
+
+    node_feats, edges = small_kg(rng, f_in=16)
+    metadata = _metadata(edges)
+    _t.manual_seed(1)
+    replica = HGTPyGReplica(16, 16, 8, 2, 4, metadata, HGTConvPyG22)
+    sd = replica.state_dict()
+    assert set(sd) == expected_pyg22_keys(metadata[0], metadata[1], 2)
+
+    x_t = {nt: _t.from_numpy(v) for nt, v in node_feats.items()}
+    ref = replica(x_t, edges)["drug"].numpy()
+
+    params = convert_hgt_pyg22(sd, metadata[0], metadata[1],
+                               num_layers=2, heads=4, hidden=16)
+    cfg = HGTConfig(hidden_dim=16, num_layers=2, att_heads=4)  # default scope
+    model = HGTEncoder(cfg=cfg, embed_dim=8, drug_only_head=True)
+    batch = build_kg_batch(node_feats, edges, drug_ids=np.arange(10))
+    out = model.apply({"params": params}, batch, train=False)["drug"]
+    np.testing.assert_allclose(np.asarray(out), ref, atol=1e-5, rtol=1e-5)
+
+
+def test_pyg23_converter_rejects_wrong_layout(rng):
+    """Layout drift (e.g. a 2.2-style checkpoint fed to the 2.3 converter)
+    raises KeyError naming the missing keys."""
+    import pytest as _pt
+    import torch as _t
+
+    from madrigal_tpu.interop.convert_checkpoint import convert_hgt_pyg23
+    from pyg_hgt_replicas import HGTConvPyG22, HGTPyGReplica
+
+    node_feats, edges = small_kg(rng, f_in=16)
+    metadata = _metadata(edges)
+    _t.manual_seed(2)
+    replica = HGTPyGReplica(16, 16, 8, 2, 4, metadata, HGTConvPyG22)
+    with _pt.raises(KeyError, match="kqv_lin"):
+        convert_hgt_pyg23(replica.state_dict(), metadata[0], metadata[1],
+                          num_layers=2, heads=4, hidden=16)
