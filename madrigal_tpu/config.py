@@ -161,6 +161,10 @@ class ChemCPAConfig:
     num_covariates: int = NUM_CELL_LINES
     dropout: float = 0.4  # only used during stage-1 adaptation training
     disable_adv: bool = True  # adversaries only exist for stage-1 training
+    # the reference's drug_embeddings hold FROZEN rdkit2D descriptors
+    # (chemCPA/embedding.py:10-20); training must exclude them from the
+    # optimizer. Set False only for a deliberately trainable table.
+    freeze_drug_embeddings: bool = True
 
 
 @dataclass(frozen=True)

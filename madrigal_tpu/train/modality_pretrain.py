@@ -335,8 +335,16 @@ class ChemCPAAdaptTrainer:
     def _adv_names(self):
         return ("adversary_covariates", "adversary_drugs")
 
+    def _frozen_names(self):
+        """Parameters excluded from ALL optimizers: the rdkit2D descriptor
+        table is frozen in the reference (chemCPA/embedding.py:10-20)."""
+        if self.cfg.use_drugs and self.cfg.freeze_drug_embeddings:
+            return ("drug_embeddings",)
+        return ()
+
     def _split(self, params):
-        ae = {k: v for k, v in params.items() if k not in self._adv_names()}
+        skip = set(self._adv_names()) | set(self._frozen_names())
+        ae = {k: v for k, v in params.items() if k not in skip}
         adv = {k: v for k, v in params.items() if k in self._adv_names()}
         return ae, adv
 
@@ -345,9 +353,10 @@ class ChemCPAAdaptTrainer:
             bs = variables["batch_stats"]
 
             def loss_fn(ae_params):
+                held = set(self._adv_names()) | set(self._frozen_names())
                 params = {**ae_params,
                           **{k: variables["params"][k]
-                             for k in self._adv_names()
+                             for k in held
                              if k in variables["params"]}}
                 (mean, var), upd = self.model.apply(
                     {"params": params, "batch_stats": bs},
@@ -493,3 +502,164 @@ def evaluate_r2_tx_adapting(trainer: "ChemCPAAdaptTrainer", genes, cov_idx,
     with np.errstate(divide="ignore", invalid="ignore"):
         r2 = 1.0 - ss_res / ss_tot
     return float(np.nanmean(r2))
+
+
+def evaluate_disentanglement(
+    trainer: "ChemCPAAdaptTrainer",
+    genes,
+    label_sets: Dict[str, "np.ndarray"],
+    epochs: int = 400,
+    hidden_layers: int = 2,
+    lr: float = 1e-2,
+    seed: int = 0,
+) -> Dict[str, float]:
+    """Latent-basal disentanglement probe (reference: chemCPA/train.py:
+    159-239 evaluate_disentanglement + its use at train.py:462-481).
+
+    Normalizes the basal latent, then trains a small MLP classifier
+    (hidden_layers non-linear layers of latent width + a linear head,
+    adam lr=1e-2 -- the reference's probe) to predict each label set
+    (drug identity, covariates). Returns {name: probe accuracy} plus
+    {name+'_optimal': majority-class frequency} -- an accuracy near
+    optimal means the latent is disentangled from that factor.
+    """
+    import numpy as np
+    import optax
+
+    basal = trainer.model.apply(
+        trainer._vars, jnp.asarray(genes), train=False,
+        method=lambda m, g, train: m.latent_basal(g, train=train),
+    )
+    basal = np.asarray(basal)
+    mean = basal.mean(axis=0, keepdims=True)
+    std = basal.std(axis=0, keepdims=True)  # biased, as torch unbiased=False
+    z = jnp.asarray((basal - mean) / np.maximum(std, 1e-8))
+
+    out: Dict[str, float] = {}
+    for name, labels in label_sets.items():
+        labels = np.asarray(labels)
+        uniq, y = np.unique(labels, return_inverse=True)
+        n_cls = len(uniq)
+        out[name + "_optimal"] = float(
+            np.bincount(y).max() / len(y)
+        )
+        if n_cls < 2:
+            out[name] = 1.0
+            continue
+        dim = z.shape[1]
+        rng = jax.random.PRNGKey(seed)
+        sizes = [dim] * (hidden_layers + 1) + [n_cls]
+        params = []
+        for i in range(len(sizes) - 1):
+            rng, k = jax.random.split(rng)
+            params.append({
+                "w": jax.random.normal(k, (sizes[i], sizes[i + 1]))
+                * jnp.sqrt(2.0 / sizes[i]),
+                "b": jnp.zeros(sizes[i + 1]),
+            })
+
+        def forward(ps, x):
+            for j, p in enumerate(ps):
+                x = x @ p["w"] + p["b"]
+                if j < len(ps) - 1:
+                    x = jax.nn.relu(x)
+            return x
+
+        tx = optax.adam(lr)
+        opt = tx.init(params)
+        yj = jnp.asarray(y)
+
+        @jax.jit
+        def step(ps, opt):
+            def loss_fn(ps):
+                return optax.softmax_cross_entropy_with_integer_labels(
+                    forward(ps, z), yj
+                ).mean()
+
+            g = jax.grad(loss_fn)(ps)
+            upd, opt = tx.update(g, opt, ps)
+            return optax.apply_updates(ps, upd), opt
+
+        for _ in range(epochs):
+            params, opt = step(params, opt)
+        pred = np.asarray(jnp.argmax(forward(params, z), axis=1))
+        out[name] = float((pred == y).mean())
+    return out
+
+
+def evaluate_logfold_r2(
+    trainer: "ChemCPAAdaptTrainer",
+    genes_treated,
+    cov_idx_treated,
+    genes_control,
+    cov_idx_control,
+    categories,
+    drugs_idx=None,
+    dosages=None,
+    min_count: int = 5,
+    eps: float = 1e-5,
+):
+    """Log2-fold-change R2 + sign accuracy vs control (reference:
+    chemCPA/train.py:73-157 evaluate_logfold_r2).
+
+    For each (covariate, drug, dose) category with > min_count treated
+    rows: predict the treated response from that covariate's CONTROL
+    genes carrying the treated drug/dose, then compare
+    log2((pred+eps)/(ctrl+eps)) against log2((true+eps)/(ctrl+eps)).
+    Returns (mean logfold R2, mean sign accuracy) over categories, or
+    (nan, nan) when no category qualifies.
+    """
+    import numpy as np
+
+    genes_treated = np.asarray(genes_treated)
+    cov_idx_treated = np.asarray(cov_idx_treated)
+    genes_control = np.asarray(genes_control)
+    cov_idx_control = np.asarray(cov_idx_control)
+    categories = np.asarray(categories)
+
+    r2s, signs = [], []
+    for cat, count in zip(*np.unique(categories, return_counts=True)):
+        if count <= min_count:
+            continue
+        idx_all = np.nonzero(categories == cat)[0]
+        i0 = idx_all[0]
+        cov = cov_idx_treated[i0]
+        ctrl_rows = np.nonzero(cov_idx_control == cov)[0]
+        if len(ctrl_rows) <= 1:
+            continue
+        g_ctrl = genes_control[ctrl_rows]
+        n = len(ctrl_rows)
+        d_idx = (None if drugs_idx is None
+                 else jnp.full((n,), int(np.asarray(drugs_idx)[i0]),
+                               jnp.int32))
+        dose = (None if dosages is None
+                else jnp.full((n,), float(np.asarray(dosages)[i0]),
+                              jnp.float32))
+        mean, _ = trainer.model.apply(
+            trainer._vars, jnp.asarray(g_ctrl),
+            jnp.full((n,), int(cov), jnp.int32), d_idx, dose,
+            train=False, method=type(trainer.model).reconstruct,
+        )
+        y_ctrl = g_ctrl.mean(axis=0)
+        y_pred = np.asarray(mean).mean(axis=0)
+        y_true = genes_treated[idx_all].mean(axis=0)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            pred_lfc = np.log2((y_pred + eps) / (y_ctrl + eps))
+            true_lfc = np.log2((y_true + eps) / (y_ctrl + eps))
+        # genes with non-positive (pred+eps) produce non-finite logfolds
+        # (LINCS values can be negative); restrict to finite entries,
+        # mirroring the reference's -inf category filtering (train.py:440)
+        ok = np.isfinite(pred_lfc) & np.isfinite(true_lfc)
+        if ok.sum() < 2:
+            continue
+        pred_lfc, true_lfc = pred_lfc[ok], true_lfc[ok]
+        ss_res = ((true_lfc - pred_lfc) ** 2).sum()
+        ss_tot = ((true_lfc - true_lfc.mean()) ** 2).sum()
+        if ss_tot > 0:
+            r2s.append(float(1.0 - ss_res / ss_tot))
+        signs.append(float(((pred_lfc * true_lfc) > 0).mean()))
+    if not r2s:
+        return float("nan"), float("nan")
+    import statistics
+
+    return statistics.mean(r2s), statistics.mean(signs)

@@ -77,3 +77,84 @@ def test_chemcpa_adaptation(rng, disable_adv):
         # alternating schedule: every 2nd iteration is an adversary step
         assert len(adv_losses) == 8
         assert np.isfinite(adv_losses).all()
+
+
+def test_chemcpa_disentanglement_probe(rng):
+    """Probe accuracy ~1.0 when the covariate is linearly encoded in the
+    latent, ~optimal (majority frequency) when it is absent."""
+    from madrigal_tpu.train.modality_pretrain import evaluate_disentanglement
+
+    cfg = ChemCPAConfig(num_genes=8, dim=8, autoencoder_width=16,
+                        autoencoder_depth=1, num_covariates=2,
+                        use_drugs=False)
+    tr = ChemCPAAdaptTrainer(cfg, lr=1e-3)
+    cov = rng.randint(0, 2, 64)
+    # genes leak the covariate -> basal latent (a linear-ish encoder of
+    # genes) is predictive of it
+    genes = rng.randn(64, 8).astype(np.float32) * 0.05
+    genes[:, 0] += cov * 3.0
+    tr.train_step(genes, cov)  # init
+    out = evaluate_disentanglement(
+        tr, genes, {"covariate": cov}, epochs=150)
+    assert out["covariate"] > 0.9
+    assert 0.4 < out["covariate_optimal"] < 0.7
+
+    # random labels uncorrelated with genes -> near-optimal accuracy only
+    rand = rng.randint(0, 4, 64)
+    out2 = evaluate_disentanglement(
+        tr, rng.randn(64, 8).astype(np.float32),
+        {"noise": rand}, epochs=60)
+    assert out2["noise"] < 0.95  # cannot reach the separable-case accuracy
+
+
+def test_chemcpa_logfold_r2(rng):
+    from madrigal_tpu.train.modality_pretrain import evaluate_logfold_r2
+
+    cfg = ChemCPAConfig(num_genes=12, dim=8, autoencoder_width=16,
+                        autoencoder_depth=1, num_covariates=2,
+                        use_drugs=False)
+    tr = ChemCPAAdaptTrainer(cfg, lr=3e-3)
+    n = 48
+    cov = rng.randint(0, 2, n)
+    genes = np.abs(rng.randn(n, 12)).astype(np.float32) + 0.5
+    for _ in range(5):
+        tr.train_step(genes, cov)
+    cats = np.array([f"cell{c}_drugA_1.0" for c in cov])
+    r2, sign = evaluate_logfold_r2(
+        tr, genes, cov, genes * 0.8, cov, cats, min_count=5)
+    assert np.isfinite(r2) and 0.0 <= sign <= 1.0
+
+    # no category above min_count -> nan
+    r2n, _ = evaluate_logfold_r2(
+        tr, genes[:4], cov[:4], genes, cov, cats[:4], min_count=5)
+    assert np.isnan(r2n)
+
+
+def test_chemcpa_frozen_drug_embeddings(rng):
+    """With freeze_drug_embeddings=True (reference embedding.py:10-20) the
+    rdkit2D table must not move during AE training; with False it must."""
+    for freeze in (True, False):
+        cfg = ChemCPAConfig(num_genes=10, dim=8, autoencoder_width=16,
+                            autoencoder_depth=1, num_covariates=2,
+                            use_drugs=True, num_drugs=6,
+                            drug_embedding_dim=9,
+                            embedding_encoder_width=8,
+                            embedding_encoder_depth=1,
+                            dosers_width=4, dosers_depth=1,
+                            freeze_drug_embeddings=freeze)
+        tr = ChemCPAAdaptTrainer(cfg, lr=1e-2)
+        genes = rng.randn(24, 10).astype(np.float32)
+        cov = rng.randint(0, 2, 24)
+        drugs = rng.randint(0, 6, 24)
+        doses = rng.rand(24).astype(np.float32)
+        tr.train_step(genes, cov, drugs, doses)  # init + first step
+        before = np.asarray(
+            tr._vars["params"]["drug_embeddings"]["embedding"]).copy()
+        for _ in range(5):
+            tr.train_step(genes, cov, drugs, doses)
+        after = np.asarray(
+            tr._vars["params"]["drug_embeddings"]["embedding"])
+        if freeze:
+            np.testing.assert_array_equal(before, after)
+        else:
+            assert not np.array_equal(before, after)
