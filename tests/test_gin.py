@@ -36,7 +36,7 @@ class TorchGINConvFixture(tnn.Module):
         src, dst = edge_index[:, 0], edge_index[:, 1]
         msg = x[src] + self.edge_linear(edge_feats)
         agg = torch.zeros_like(x[:, : msg.shape[1]])
-        agg = torch.zeros((x.shape[0], msg.shape[1]))
+        agg = torch.zeros((x.shape[0], msg.shape[1]), dtype=msg.dtype)
         agg.index_add_(0, dst, msg)
         h = (1 + self.eps) * x + agg
         for i, lin in enumerate(self.mlp):
@@ -57,7 +57,7 @@ class TorchGINFixture(tnn.Module):
     def forward(self, x, edge_index, edge_feats, graph_ids, num_graphs):
         for layer in self.layers:
             x = layer(x, edge_index, edge_feats)
-        out = torch.zeros((num_graphs, x.shape[1]))
+        out = torch.zeros((num_graphs, x.shape[1]), dtype=x.dtype)
         out.index_add_(0, graph_ids, x)
         counts = torch.zeros(num_graphs).index_add_(
             0, graph_ids, torch.ones(x.shape[0])
