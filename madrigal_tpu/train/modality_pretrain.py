@@ -504,6 +504,86 @@ def evaluate_r2_tx_adapting(trainer: "ChemCPAAdaptTrainer", genes, cov_idx,
     return float(np.nanmean(r2))
 
 
+def _r2(y_true, y_pred) -> float:
+    ss_res = float(((y_true - y_pred) ** 2).sum())
+    ss_tot = float(((y_true - y_true.mean()) ** 2).sum())
+    return 1.0 - ss_res / ss_tot if ss_tot > 0 else float("-inf")
+
+
+def evaluate_r2_per_category(
+    trainer: "ChemCPAAdaptTrainer",
+    genes_treated,
+    cov_idx_treated,
+    genes_control,
+    categories,
+    drugs_idx=None,
+    dosages=None,
+    de_gene_idx: Optional[Dict[str, "np.ndarray"]] = None,
+    min_count: int = 5,
+):
+    """Per-(covariate, drug, dose)-category R2 about MEANS and VARIANCES,
+    over all genes and over differentially-expressed genes (reference:
+    chemCPA/train.py:268-460 evaluate_r2): translate the CONTROL
+    population into each category's condition and compare predicted
+    mean/variance profiles against the category's true profiles.
+
+    de_gene_idx optionally maps category -> gene indices (the reference's
+    de_genes lookup); without it the DE scores equal the all-gene scores
+    (the reference's own LINCS fallback, train.py:112).
+    Returns dict with mean_score / mean_score_de / var_score /
+    var_score_de (means over categories; -inf categories dropped, as the
+    reference filters them).
+    """
+    import numpy as np
+
+    genes_treated = np.asarray(genes_treated)
+    cov_idx_treated = np.asarray(cov_idx_treated)
+    genes_control = np.asarray(genes_control)
+    categories = np.asarray(categories)
+    n_rows = genes_control.shape[0]
+
+    buckets = {"mean_score": [], "mean_score_de": [],
+               "var_score": [], "var_score_de": []}
+    for cat, count in zip(*np.unique(categories, return_counts=True)):
+        if count <= min_count:
+            continue
+        low = str(cat).lower()
+        if "dmso" in low or "control" in low:
+            continue
+        idx_all = np.nonzero(categories == cat)[0]
+        i0 = idx_all[0]
+        d_idx = (None if drugs_idx is None
+                 else jnp.full((n_rows,), int(np.asarray(drugs_idx)[i0]),
+                               jnp.int32))
+        dose = (None if dosages is None
+                else jnp.full((n_rows,), float(np.asarray(dosages)[i0]),
+                              jnp.float32))
+        mean, var = trainer.model.apply(
+            trainer._vars, jnp.asarray(genes_control),
+            jnp.full((n_rows,), int(cov_idx_treated[i0]), jnp.int32),
+            d_idx, dose, train=False,
+            method=type(trainer.model).reconstruct,
+        )
+        y_true = genes_treated[idx_all]
+        yt_m, yt_v = y_true.mean(axis=0), y_true.var(axis=0)
+        yp_m = np.asarray(mean).mean(axis=0)
+        yp_v = np.asarray(var).mean(axis=0)
+        de = (np.asarray(de_gene_idx[cat]) if de_gene_idx and cat in
+              de_gene_idx else np.arange(y_true.shape[1]))
+        pairs = {
+            "mean_score": (yt_m, yp_m),
+            "var_score": (yt_v, yp_v),
+            "mean_score_de": (yt_m[de], yp_m[de]),
+            "var_score_de": (yt_v[de], yp_v[de]),
+        }
+        for name, (t, p) in pairs.items():
+            r2 = _r2(t, p)
+            if np.isfinite(r2):
+                buckets[name].append(r2)
+    return {k: (float(np.mean(v)) if v else float("nan"))
+            for k, v in buckets.items()}
+
+
 def evaluate_disentanglement(
     trainer: "ChemCPAAdaptTrainer",
     genes,

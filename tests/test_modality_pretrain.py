@@ -158,3 +158,32 @@ def test_chemcpa_frozen_drug_embeddings(rng):
             np.testing.assert_array_equal(before, after)
         else:
             assert not np.array_equal(before, after)
+
+
+def test_chemcpa_r2_per_category(rng):
+    """Per-category mean/var/DE-gene R2 (reference evaluate_r2): control
+    categories filtered, DE subset respected, scores finite."""
+    from madrigal_tpu.train.modality_pretrain import evaluate_r2_per_category
+
+    cfg = ChemCPAConfig(num_genes=10, dim=8, autoencoder_width=16,
+                        autoencoder_depth=1, num_covariates=2,
+                        use_drugs=False)
+    tr = ChemCPAAdaptTrainer(cfg, lr=3e-3)
+    n = 40
+    cov = rng.randint(0, 2, n)
+    genes = rng.randn(n, 10).astype(np.float32)
+    for _ in range(5):
+        tr.train_step(genes, cov)
+    cats = np.array([f"cell{c}_drugA_1.0" for c in cov])
+    cats[:3] = "cell0_DMSO_0.0"  # must be skipped as control
+    ctrl = rng.randn(24, 10).astype(np.float32)
+    de = {c: np.array([0, 2, 4]) for c in np.unique(cats)}
+    out = evaluate_r2_per_category(tr, genes, cov, ctrl, cats,
+                                   de_gene_idx=de, min_count=5)
+    assert set(out) == {"mean_score", "mean_score_de", "var_score",
+                        "var_score_de"}
+    assert np.isfinite(out["mean_score"])
+    # all categories below min_count -> nan
+    out2 = evaluate_r2_per_category(tr, genes[:4], cov[:4], ctrl, cats[:4],
+                                    min_count=5)
+    assert np.isnan(out2["mean_score"])
