@@ -94,11 +94,13 @@ def torch_cpu_rate() -> float:
         return torch.matmul(torch.matmul(z, w_sym), z.T)
 
     run()  # warmup
-    t0 = time.perf_counter()
-    out = run()
-    s = float(out.sum())  # force materialization
-    dt = time.perf_counter() - t0
-    return L_TORCH * N_DRUGS * N_DRUGS / dt
+    best = float("inf")
+    for _ in range(3):  # best-of-3: the CPU baseline is load-sensitive
+        t0 = time.perf_counter()
+        out = run()
+        float(out.sum())  # force materialization
+        best = min(best, time.perf_counter() - t0)
+    return L_TORCH * N_DRUGS * N_DRUGS / best
 
 
 def rank_rate() -> float:
@@ -118,10 +120,12 @@ def rank_rate() -> float:
     w = symmetrize(
         jnp.asarray(rng.randn(L_RANK_MEASURE, FEAT, FEAT).astype(np.float32))
     )
-    out = normalized_ranks_for_outcomes(z, w)
+    # stable=False: ~12% faster and tie-order-equivalent to the reference's
+    # own unstable numpy quicksort (identical ranks for distinct scores)
+    out = normalized_ranks_for_outcomes(z, w, stable=False)
     float(jnp.max(out[0, 0, :8]))  # compile + completion-forcing read
     t0 = time.perf_counter()
-    out = normalized_ranks_for_outcomes(z, w)
+    out = normalized_ranks_for_outcomes(z, w, stable=False)
     float(jnp.max(out[0, 0, :8]))
     dt = time.perf_counter() - t0
     return L_RANK_MEASURE / dt
@@ -133,17 +137,19 @@ def numpy_rank_rate() -> float:
     rng = np.random.RandomState(1)
     s = rng.randn(N_DRUGS, N_DRUGS).astype(np.float32)
     n = N_DRUGS
-    t0 = time.perf_counter()
-    iu = np.triu_indices(n, k=0)
-    sc = s.astype(np.float64)
-    sc[iu] = np.inf
-    flat = sc.reshape(-1)
-    rank = flat.argsort().argsort() + 1
-    norm = (rank / (n * (n - 1) / 2)).reshape(n, n).astype(np.float32)
-    norm[iu] = 0.0
-    _ = norm + norm.T
-    dt = time.perf_counter() - t0
-    return 1.0 / dt
+    best = float("inf")
+    for _ in range(3):  # best-of-3: load-sensitive
+        t0 = time.perf_counter()
+        iu = np.triu_indices(n, k=0)
+        sc = s.astype(np.float64)
+        sc[iu] = np.inf
+        flat = sc.reshape(-1)
+        rank = flat.argsort().argsort() + 1
+        norm = (rank / (n * (n - 1) / 2)).reshape(n, n).astype(np.float32)
+        norm[iu] = 0.0
+        _ = norm + norm.T
+        best = min(best, time.perf_counter() - t0)
+    return 1.0 / best
 
 
 def main(mode: str = "score"):
