@@ -143,3 +143,57 @@ def test_save_scores_and_stratified_metrics(tmp_path, rng=np.random.RandomState(
     assert len(mdf) == 4
     assert "auprc" in mdf.columns and "pos_samples" in mdf.columns
     assert mdf["label"].tolist() == [f"outcome_{i}" for i in range(4)]
+
+
+def test_direction_arrays_remap_via_global_ids():
+    """Asymmetric val eval types score BOTH directions even when the
+    collator deduped head/tail stores separately, by remapping through
+    global drug ids (r1 ADVICE: previously silently one-directional)."""
+    import dataclasses as dc
+
+    import jax.numpy as jnp
+
+    from madrigal_tpu.data.collate import DDIBatch
+    from madrigal_tpu.data.batch import DrugModalityBatch
+    from madrigal_tpu.eval.evaluate import _direction_arrays
+
+    def drugs_batch(global_ids):
+        n = len(global_ids)
+        return DrugModalityBatch(
+            drugs=jnp.asarray(global_ids, jnp.int32),
+            mols=None, kg_rows=jnp.zeros(n, jnp.int32),
+            cv=jnp.zeros((n, 4)), tx_sigs=jnp.zeros((2, n, 4)),
+            tx_dosages=jnp.zeros((2, n)),
+            masks=jnp.zeros((n, 5), bool),
+        )
+
+    # stores share the same drugs but in different orders/dedup
+    head_store = [3, 5, 9]
+    tail_store = [9, 3, 5]
+    batch = DDIBatch(
+        head=drugs_batch(head_store), tail=drugs_batch(tail_store),
+        head_idx=jnp.asarray([0, 1], jnp.int32),  # drugs 3, 5
+        tail_idx=jnp.asarray([0, 2], jnp.int32),  # drugs 9, 5
+        labels=jnp.asarray([0, 1], jnp.int32),
+        pos_neg=jnp.asarray([1.0, 0.0]),
+        mask=jnp.asarray([True, True]),
+    )
+    hi, ti, lb, pn, m = _direction_arrays("val", "str_full", batch)
+    assert len(hi) == 4  # both directions scored
+    head_g = np.asarray([head_store[i] for i in hi])
+    tail_g = np.asarray([tail_store[i] for i in ti])
+    # reverse half swaps the global drug pairs exactly
+    np.testing.assert_array_equal(head_g[2:], tail_g[:2])
+    np.testing.assert_array_equal(tail_g[2:], head_g[:2])
+
+    # tail store missing a reverse drug -> warning + one direction
+    import warnings
+
+    batch2 = dc.replace(batch, tail=drugs_batch([9, 4, 5]),
+                        tail_idx=jnp.asarray([0, 2], jnp.int32))
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        hi2, *_ = _direction_arrays("val", "str_full", batch2)
+    # heads {3,5} not both present in tail store {9,4,5} -> no remap
+    assert len(hi2) == 2
+    assert any("bidirectional" in str(x.message) for x in w)
