@@ -69,6 +69,44 @@ class LMDecoder(nn.Module):
         return nn.Dense(1, name="out_dense2")(h)[:, 0]
 
 
+PARAPHRASE_TEMPLATES = (
+    "{}",
+    "The interaction may result in: {}",
+    "Co-administration can cause {}",
+    "Risk of {} when the two drugs are combined",
+    "Combining these drugs is associated with {}",
+    "{} (adverse drug-drug interaction)",
+    "Observed outcome of the drug pair: {}",
+    "This drug combination can lead to {}",
+    "Clinical effect reported for the pair: {}",
+    "Potential for {} with concomitant use",
+)
+
+
+def build_paraphrase_bank(texts, num_variants: int = 10,
+                          model_name: str = "bert-base-uncased",
+                          embed_fn=None):
+    """[P, L, lm_dim] paraphrase-variant embedding bank.
+
+    The reference generates 10 GPT paraphrases per outcome description
+    via the OpenAI API (LM_decoder/openai_api_request_parallel_processor.
+    py + data.py:48-69); with no API egress this builds deterministic
+    template variants instead and embeds each set -- same bank shape and
+    training/eval semantics (one variant sampled per row per step).
+    Pass reference-generated paraphrase CSVs through
+    `extract_text_embeddings` per column to reproduce the original bank.
+    """
+    import numpy as np
+
+    if embed_fn is None:
+        embed_fn = lambda ts: extract_text_embeddings(ts, model_name)
+    banks = []
+    for p in range(num_variants):
+        tmpl = PARAPHRASE_TEMPLATES[p % len(PARAPHRASE_TEMPLATES)]
+        banks.append(embed_fn([tmpl.format(t) for t in texts]))
+    return np.stack(banks)
+
+
 def extract_text_embeddings(texts, model_name: str = "bert-base-uncased",
                             device: str = "cpu"):
     """Mean-pooled last-hidden-state embeddings via transformers

@@ -125,3 +125,41 @@ def test_cli_train_lm_synthetic(tmp_path):
         meta = json.load(f)
     assert set(meta["eval_labels"]) & set(meta["train_labels"]) == set()
     assert np.isfinite(auroc) or np.isnan(auroc)
+
+
+def test_build_paraphrase_bank_templates():
+    """Offline paraphrase bank: [P, L, dim], deterministic templates, each
+    variant a distinct rendering of the same outcomes."""
+    from madrigal_tpu.models.lm_decoder import (
+        PARAPHRASE_TEMPLATES,
+        build_paraphrase_bank,
+    )
+
+    rendered = []
+
+    def fake_embed(texts):
+        rendered.append(list(texts))
+        return np.stack([
+            np.frombuffer(
+                __import__("hashlib").sha256(t.encode()).digest()[:32],
+                dtype=np.uint8,
+            ).astype(np.float32)
+            for t in texts
+        ])
+
+    texts = ["nausea", "headache", "qt prolongation"]
+    bank = build_paraphrase_bank(texts, num_variants=4, embed_fn=fake_embed)
+    assert bank.shape == (4, 3, 32)
+    # variant 0 is the raw description; others are template renderings
+    assert rendered[0] == texts
+    assert rendered[1] == [PARAPHRASE_TEMPLATES[1].format(t) for t in texts]
+    # distinct variants embed differently
+    assert not np.array_equal(bank[0], bank[1])
+    # the bank plugs straight into the trainer's paraphrase path
+    drug = np.random.RandomState(0).randn(6, 8).astype(np.float32)
+    tr = LMDecoderTrainer(drug, bank, project_dim=8, mlp_dim=16,
+                          dropout=0.0, self_att=False, lr=1e-3)
+    table = {"head": np.array([0, 1]), "tail": np.array([2, 3]),
+             "label": np.array([0, 2]), "pos_neg": np.array([1.0, 0.0],
+                                                            np.float32)}
+    assert np.isfinite(tr.train_epoch(table, batch_size=2))
