@@ -160,6 +160,10 @@ def main(argv=None):
                     f"(epoch {meta['epoch']})")
 
     start_epoch = 0
+    best_key = -1e8
+    best_within_key = -1e8
+    best_epoch = None
+    best_within_epoch = None
     if args.resume:
         import jax.numpy as jnp
 
@@ -176,7 +180,16 @@ def main(argv=None):
             epoch=jnp.asarray(meta["epoch"], jnp.int32),
         )
         start_epoch = int(meta["epoch"])
-        logger.info(f"resumed from {args.resume} at epoch {start_epoch}")
+        # restore best-model tracking so the first post-resume eval can't
+        # overwrite a better pre-resume best_model checkpoint
+        extra = meta.get("extra") or {}
+        best_key = float(extra.get("best_key", best_key))
+        best_within_key = float(extra.get("best_within_key",
+                                          best_within_key))
+        best_epoch = extra.get("best_epoch")
+        best_within_epoch = extra.get("best_within_epoch")
+        logger.info(f"resumed from {args.resume} at epoch {start_epoch} "
+                    f"(best so far {best_key:.4f} @ {best_epoch})")
 
     evaluator = Evaluator(trainer.model, cfg.finetune_mode, task=cfg.task,
                           logger=logger)
@@ -185,26 +198,38 @@ def main(argv=None):
         if args.eval_types else None
     )
 
-    # build the eval batches once (the reference builds each split's full
-    # batch once up front, train_ddi_batch.py:115-117)
+    # build the VAL eval batches once (the reference builds each split's
+    # full batch once up front, train_ddi_batch.py:115-117); test splits
+    # collate lazily in the --test block so training runs don't pay for
+    # (or pin) arenas they never read
     from ..data.collate import DDICollator as _C
 
     eval_batches = {}
+    test_dfs = {}
     if splits is not None:
         for name, df in splits.items():
             if name == "train" or not len(df):
                 continue
-            eval_batches[name] = _C(ds, split=name, seed=args.seed)(df)[0]
-    val_splits = [n for n in eval_batches if n.startswith("val")]
-    test_splits = [n for n in eval_batches if n.startswith("test")]
+            if name.startswith("test"):
+                test_dfs[name] = df
+            else:
+                eval_batches[name] = _C(ds, split=name, seed=args.seed)(
+                    df)[0]
+    # selection priority: plain 'val' wins when it coexists with
+    # val_between (deterministic, not dict insertion order)
+    val_splits = sorted(
+        [n for n in eval_batches if n.startswith("val")],
+        key=lambda n: (n != "val", n),
+    )
 
     from ..train.checkpoint import EarlyStopping, check_finite_loss
 
     stopper = EarlyStopping(args.patience) if args.patience else None
-    best_key = -1e8
-    best_within_key = -1e8
-    best_epoch = None
-    best_within_epoch = None
+
+    def tracking_extra():
+        return {"best_key": best_key, "best_within_key": best_within_key,
+                "best_epoch": best_epoch,
+                "best_within_epoch": best_within_epoch}
 
     def run_eval_sweep(epoch):
         """Full per-split eval-type sweep (reference evaluate.py:39-247:
@@ -222,9 +247,9 @@ def main(argv=None):
                 mlog.log({f"{name}_key_auprc": k}, step=epoch)
                 if "within" in name:
                     within_key = k
-                else:
+                elif key is None:  # first in priority order ('val' first)
                     key = k
-            if key is None:  # only between/within splits exist
+            if key is None:  # only within splits exist
                 key = within_key
         else:
             key = evaluator.evaluate_ft(
@@ -237,6 +262,7 @@ def main(argv=None):
                 os.path.join(args.save_dir, "best_model"),
                 trainer.state.params, trainer.state.batch_stats, cfg,
                 epoch=epoch, opt_state=trainer.state.opt_state,
+                extra=tracking_extra(),
             )
             logger.info(f"new best auprc {key:.4f} @ epoch {epoch}")
         if within_key is not None and within_key > best_within_key:
@@ -263,6 +289,7 @@ def main(argv=None):
                 os.path.join(args.save_dir, "last_model"),
                 trainer.state.params, trainer.state.batch_stats, cfg,
                 epoch=epoch + 1, opt_state=trainer.state.opt_state,
+                extra=tracking_extra(),
             )
             if stopper is not None and stopper(key):
                 logger.info(
@@ -276,14 +303,16 @@ def main(argv=None):
             os.path.join(args.save_dir, "last_model"),
             trainer.state.params, trainer.state.batch_stats, cfg,
             epoch=cfg.num_epochs, opt_state=trainer.state.opt_state,
+            extra=tracking_extra(),
         )
     logger.info(f"done; best auprc {best_key:.4f} @ epoch {best_epoch}; "
                 f"best within {best_within_key:.4f} @ "
                 f"epoch {best_within_epoch}")
 
-    if args.test and test_splits:
+    if args.test and test_dfs:
         # reference predict.test analog: reload the best checkpoint and run
-        # the full test-split eval sweep (predict.py:15-170)
+        # the full test-split eval sweep (predict.py:15-170); test splits
+        # collate here, lazily
         from ..eval.predict import model_from_checkpoint
 
         best_path = os.path.join(args.save_dir, "best_model")
@@ -291,9 +320,11 @@ def main(argv=None):
             model, variables, _ = model_from_checkpoint(best_path)
             test_eval = Evaluator(model, cfg.finetune_mode, task=cfg.task,
                                   logger=logger)
-            for name in test_splits:
+            for name in sorted(test_dfs):
+                test_batch = _C(ds, split=name, seed=args.seed)(
+                    test_dfs[name])[0]
                 test_key = test_eval.evaluate_ft(
-                    variables, eval_batches[name], kg, name,
+                    variables, test_batch, kg, name,
                     eval_types=eval_types)
                 logger.info(
                     f"{name} key auprc (best model): {test_key:.4f}")

@@ -165,7 +165,8 @@ class Evaluator:
             sel = MODEL_SELECTION_EVAL_TYPE["plain"].get(
                 self.finetune_mode, "full_full")
         key_metric = float("nan")
-        for et in (eval_types or SPLIT_EVAL_TYPES[base]):
+        first_key = float("nan")
+        for i, et in enumerate(eval_types or SPLIT_EVAL_TYPES[base]):
             k, metrics = self.evaluate_ddi(variables, batch, kg, et, split)
             if self.logger:
                 self.logger.info(
@@ -174,8 +175,23 @@ class Evaluator:
                         for n, v in metrics.items()
                     )
                 )
+            if i == 0:
+                first_key = k
             if et == sel:
                 key_metric = k
+        if np.isnan(key_metric) and not np.isnan(first_key):
+            # a custom eval_types list omitted the mode's model-selection
+            # type; fall back to the first swept type so checkpoint
+            # selection / early stopping never run on NaN
+            import warnings
+
+            warnings.warn(
+                f"model-selection eval type '{sel}' for mode "
+                f"'{self.finetune_mode}' not in swept eval_types; using "
+                "the first swept type's key metric instead",
+                stacklevel=2,
+            )
+            key_metric = first_key
         return key_metric
 
 

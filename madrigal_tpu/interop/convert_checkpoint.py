@@ -267,9 +267,41 @@ def convert_reference_encoder(
                     enc_cfg.hgt.num_layers, enc_cfg.hgt.att_heads,
                     enc_cfg.hgt.hidden_dim,
                 )
-            except KeyError:
-                if strict_kg:
-                    raise
+                # the 2.3 layout implies the 2.3 attention semantics: a
+                # model built with the default per-edge-type scope would
+                # load these weights cleanly but normalize attention
+                # differently -- refuse the silent mismatch
+                scope = getattr(enc_cfg.hgt, "softmax_scope",
+                                "per_edge_type")
+                if scope != "global":
+                    raise ValueError(
+                        "checkpoint uses the PyG 2.3 HGT layout, whose "
+                        "rewritten HGTConv softmaxes globally across edge "
+                        "types; set HGTConfig(softmax_scope='global') on "
+                        "the consuming config (got "
+                        f"'{scope}')"
+                    )
+            except KeyError as e23:
+                # not the 2.3 layout; try the <=2.2 layout, which matches
+                # the default per-edge-type scope
+                try:
+                    params["kg_encoder"] = convert_hgt_pyg22(
+                        sub, kg_metadata.node_types,
+                        kg_metadata.edge_types, enc_cfg.hgt.num_layers,
+                        enc_cfg.hgt.att_heads, enc_cfg.hgt.hidden_dim,
+                    )
+                    scope = getattr(enc_cfg.hgt, "softmax_scope",
+                                    "per_edge_type")
+                    if scope != "per_edge_type":
+                        raise ValueError(
+                            "checkpoint uses the PyG <=2.2 HGT layout "
+                            "(per-edge-type softmax + group); set "
+                            "HGTConfig(softmax_scope='per_edge_type') "
+                            f"(got '{scope}')"
+                        )
+                except KeyError:
+                    if strict_kg:
+                        raise e23
 
     if any(k.startswith("transformer.") for k in sd):
         sub = filter_prefix(sd, "transformer")

@@ -47,7 +47,10 @@ def split_by_outcome_classes(
     train_labels, eval_labels)."""
     rng = np.random.RandomState(seed)
     labels = np.unique(edge_df["label_indexed"].values)
-    n_eval = max(1, int(round(len(labels) * eval_frac)))
+    # eval_frac <= 0 means NO zero-shot holdout (every outcome trains);
+    # any positive fraction holds out at least one class
+    n_eval = (0 if eval_frac <= 0
+              else max(1, int(round(len(labels) * eval_frac))))
     perm = rng.permutation(labels)
     eval_labels = np.sort(perm[:n_eval])
     train_labels = np.sort(perm[n_eval:])
@@ -81,10 +84,12 @@ def build_lm_table(
             for _attempt in range(20):
                 cand = int(rng.randint(num_drugs))
                 if cand != int(h) and (int(h), cand, int(l)) not in pos:
+                    neg_h.append(h)
+                    neg_t.append(cand)
+                    neg_l.append(l)
                     break
-            neg_h.append(h)
-            neg_t.append(cand)
-            neg_l.append(l)
+            # else: every draw collided (dense head under this outcome) --
+            # emit NOTHING rather than a known positive labeled negative
 
     out_h = np.concatenate([heads, np.asarray(neg_h, np.int32)])
     out_t = np.concatenate([tails, np.asarray(neg_t, np.int32)])
@@ -211,9 +216,27 @@ class LMDecoderTrainer:
         return score
 
     # ------------------------------------------------------------------
+    def _validate_table(self, table: Dict[str, np.ndarray]) -> None:
+        """Reject out-of-range ids up front: jitted jnp gathers CLAMP bad
+        indices to the last row, which would silently train/evaluate
+        against wrong embeddings."""
+        n_drugs = int(self.drug_table.shape[0])
+        n_out = int(self.text_table.shape[-2])
+        for name, limit in (("head", n_drugs), ("tail", n_drugs),
+                            ("label", n_out)):
+            arr = np.asarray(table[name])
+            if len(arr) and (arr.min() < 0 or arr.max() >= limit):
+                raise ValueError(
+                    f"table['{name}'] ids in [{arr.min()}, {arr.max()}] "
+                    f"out of range for a table of {limit} rows -- the "
+                    f"{'drug' if name != 'label' else 'text'}-embedding "
+                    "table does not cover this dataset"
+                )
+
     def train_epoch(self, table: Dict[str, np.ndarray],
                     batch_size: int = 512) -> float:
         """One pass over the (shuffled) long table; returns mean loss."""
+        self._validate_table(table)
         n = len(table["head"])
         self.rng, k = jax.random.split(self.rng)
         order = np.asarray(
@@ -243,6 +266,7 @@ class LMDecoderTrainer:
                 variant: Optional[int] = None,
                 batch_size: int = 2048) -> np.ndarray:
         """Sigmoid scores; `variant` picks a paraphrase bank row."""
+        self._validate_table(table)
         head = np.asarray(table["head"])
         tail = np.asarray(table["tail"])
         label = np.asarray(table["label"])

@@ -36,9 +36,12 @@ def _force_completion(result) -> None:
     import numpy as np
 
     for leaf in jax.tree_util.tree_leaves(result):
-        if hasattr(leaf, "shape"):
-            flat = leaf.reshape(-1) if getattr(leaf, "ndim", 0) else leaf
-            float(np.asarray(flat[0] if getattr(leaf, "ndim", 0) else flat))
+        if not hasattr(leaf, "shape"):
+            continue
+        if getattr(leaf, "size", 1) == 0:
+            continue  # zero-size leaves have nothing to read
+        flat = leaf.reshape(-1) if getattr(leaf, "ndim", 0) else leaf
+        float(np.asarray(flat[0] if getattr(leaf, "ndim", 0) else flat))
 
 
 class StepTimer:

@@ -234,3 +234,43 @@ def test_pyg23_converter_rejects_wrong_layout(rng):
     with _pt.raises(KeyError, match="kqv_lin"):
         convert_hgt_pyg23(replica.state_dict(), metadata[0], metadata[1],
                           num_layers=2, heads=4, hidden=16)
+
+
+def test_convert_reference_encoder_enforces_scope(rng):
+    """Decoding a PyG 2.3 HGT layout with a per-edge-type-scope config is
+    refused (silent attention-semantics mismatch); softmax_scope='global'
+    converts cleanly."""
+    import dataclasses
+
+    import pytest as _pt
+    import torch as _t
+
+    from madrigal_tpu.config import EncoderConfig
+    from madrigal_tpu.interop.convert_checkpoint import (
+        convert_reference_encoder,
+    )
+    from pyg_hgt_replicas import HGTConvPyG23, HGTPyGReplica
+
+    node_feats, edges = small_kg(rng, f_in=16)
+    metadata = (["drug", "protein"], [tuple(e) for e in edges])
+    _t.manual_seed(3)
+    replica = HGTPyGReplica(16, 16, 8, 2, 4, metadata, HGTConvPyG23)
+    sd = {f"kg_encoder.{k}": v for k, v in replica.state_dict().items()}
+
+    class Meta:
+        node_types = metadata[0]
+        edge_types = metadata[1]
+
+    cfg = EncoderConfig(
+        feature_dim=8,
+        hgt=HGTConfig(hidden_dim=16, num_layers=2, att_heads=4),
+    )
+    with _pt.raises(ValueError, match="softmax_scope='global'"):
+        convert_reference_encoder(sd, cfg, Meta(), strict_kg=True)
+
+    cfg_ok = dataclasses.replace(
+        cfg, hgt=HGTConfig(hidden_dim=16, num_layers=2, att_heads=4,
+                           softmax_scope="global"))
+    params, _ = convert_reference_encoder(sd, cfg_ok, Meta(),
+                                          strict_kg=True)
+    assert "kg_encoder" in params and "conv_0" in params["kg_encoder"]

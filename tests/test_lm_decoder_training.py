@@ -163,3 +163,36 @@ def test_build_paraphrase_bank_templates():
              "label": np.array([0, 2]), "pos_neg": np.array([1.0, 0.0],
                                                             np.float32)}
     assert np.isfinite(tr.train_epoch(table, batch_size=2))
+
+
+def test_lm_table_validation_and_no_holdout(rng):
+    drug, text, table = _text_conditional_task(rng, num_labels=4,
+                                               n_per_label=10)
+    trainer = LMDecoderTrainer(drug, text, project_dim=8, mlp_dim=16,
+                               dropout=0.0, self_att=False, lr=1e-3)
+    bad = dict(table)
+    bad["label"] = np.full_like(table["label"], 7)  # only 4 outcomes exist
+    with pytest.raises(ValueError, match="label"):
+        trainer.train_epoch(bad, batch_size=8)
+    bad2 = dict(table)
+    bad2["tail"] = np.full_like(table["tail"], 99)
+    with pytest.raises(ValueError, match="tail"):
+        trainer.evaluate(bad2)
+
+    # eval_frac=0 -> no zero-shot holdout at all
+    df = make_edges(rng, num_labels=5, n=50)
+    tr, ev, trl, evl = split_by_outcome_classes(df, eval_frac=0.0)
+    assert len(evl) == 0 and len(ev) == 0 and len(tr) == len(df)
+
+
+def test_build_lm_table_skips_unresolvable_negatives(rng):
+    """A head positively paired with every other drug under an outcome
+    yields NO negative for those rows (never a false negative)."""
+    import pandas as pd
+
+    rows = [(0, t, 0) for t in range(1, 4)]  # drug 0 pairs with all of 1-3
+    df = pd.DataFrame(rows, columns=["head", "tail", "label_indexed"])
+    table = build_lm_table(df, num_drugs=4, num_neg_per_pos=1, seed=0)
+    # 3 positives; negatives can only be... none (cand != 0 and not pos)
+    assert table["pos_neg"].sum() == 3
+    assert (table["pos_neg"] == 0).sum() == 0
