@@ -67,14 +67,20 @@ def _is_no_decay(path: tuple) -> bool:
 
 
 def param_labels(params) -> Any:
-    """Label tree: '<group>' or '<group>_nd' (no decay). The decoder keeps a
-    single decayed group like the reference (utils.py:591-599)."""
+    """Label tree: '<group>', '<group>_nd' (no decay), or 'frozen'. The
+    decoder keeps a single decayed group like the reference
+    (utils.py:591-599); the chemCPA drug_embeddings table holds frozen
+    rdkit2D descriptors in the reference (chemCPA/embedding.py:10-20) and
+    is excluded from every optimizer."""
 
     def label(path, _):
-        g = _group_of(tuple(k.key for k in path))
+        keys = tuple(k.key for k in path)
+        if "drug_embeddings" in keys and "tx_encoder" in keys:
+            return "frozen"
+        g = _group_of(keys)
         if g == "decoder":
             return "decoder"
-        return g + ("_nd" if _is_no_decay(tuple(k.key for k in path)) else "")
+        return g + ("_nd" if _is_no_decay(keys) else "")
 
     return jax.tree_util.tree_map_with_path(label, params)
 
@@ -201,6 +207,7 @@ def create_optimizer(
         transforms[g] = _adamw(sched_for(lr), cfg, cfg.wd)
         if g != "decoder":
             transforms[g + "_nd"] = _adamw(sched_for(lr), cfg, 0.0)
+    transforms["frozen"] = optax.set_to_zero()
 
     labels = param_labels(params)
     return optax.multi_transform(transforms, labels)

@@ -98,6 +98,19 @@ class CLPretrainer:
                            momentum=cfg.pretrain_momentum)
         else:
             raise NotImplementedError(cfg.pretrain_optimizer)
+        # the chemCPA drug_embeddings table is frozen rdkit2D descriptors
+        # in the reference (chemCPA/embedding.py:10-20) -- mask it out
+        self.tx = optax.multi_transform(
+            {"train": self.tx, "frozen": optax.set_to_zero()},
+            jax.tree_util.tree_map_with_path(
+                lambda path, _: (
+                    "frozen"
+                    if {"drug_embeddings", "tx_encoder"} <=
+                    {k.key for k in path} else "train"
+                ),
+                variables["params"],
+            ),
+        )
 
         self.state = CLTrainState(
             params=variables["params"],

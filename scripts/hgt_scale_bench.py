@@ -1,0 +1,104 @@
+"""Full-KG HGT forward at PrimeKG scale on the real chip, both
+attention-softmax scopes (per-edge-type = PyG <=2.2 semantics, global =
+PyG 2.3 semantics). The full-graph message pass runs once per train step
+(shared drug table), so this is the encoder-side step-time anchor.
+
+Usage: python scripts/hgt_scale_bench.py [--small]
+"""
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+
+import jax.numpy as jnp
+
+from madrigal_tpu.config import HGTConfig
+from madrigal_tpu.data.kg import build_kg_batch
+from madrigal_tpu.models.hgt import HGTEncoder
+
+NODE_TYPES = {  # ~122.5k nodes across PrimeKG-like types
+    "drug": 8000, "protein": 27000, "disease": 17000, "pathway": 2500,
+    "bioprocess": 28000, "molfunc": 11000, "cellcomp": 4000,
+    "anatomy": 25000,
+}
+# 17 edge types, ~8.3M directed edges
+EDGE_SPEC = [
+    ("drug", "targets", "protein", 300_000),
+    ("protein", "rev_targets", "drug", 300_000),
+    ("drug", "indication", "disease", 50_000),
+    ("disease", "rev_indication", "drug", 50_000),
+    ("drug", "interacts", "drug", 600_000),
+    ("protein", "ppi", "protein", 1_200_000),
+    ("protein", "in_pathway", "pathway", 200_000),
+    ("pathway", "rev_in_pathway", "protein", 200_000),
+    ("protein", "bp", "bioprocess", 1_100_000),
+    ("bioprocess", "rev_bp", "protein", 1_100_000),
+    ("protein", "mf", "molfunc", 600_000),
+    ("molfunc", "rev_mf", "protein", 600_000),
+    ("protein", "cc", "cellcomp", 400_000),
+    ("cellcomp", "rev_cc", "protein", 400_000),
+    ("disease", "anat", "anatomy", 600_000),
+    ("anatomy", "rev_anat", "disease", 600_000),
+    ("disease", "dd", "disease", 300_000),
+]
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--small", action="store_true",
+                    help="1/16-scale sanity run")
+    args = ap.parse_args()
+    scale = 16 if args.small else 1
+
+    rng = np.random.RandomState(0)
+    node_feats = {
+        nt: rng.randn(max(n // scale, 8), 128).astype(np.float32)
+        for nt, n in NODE_TYPES.items()
+    }
+    edges = {}
+    for src, rel, dst, e in EDGE_SPEC:
+        e = max(e // scale, 16)
+        edges[(src, rel, dst)] = np.stack([
+            rng.randint(0, node_feats[src].shape[0], e),
+            rng.randint(0, node_feats[dst].shape[0], e),
+        ]).astype(np.int32)
+    total_e = sum(v.shape[1] for v in edges.values())
+    total_n = sum(v.shape[0] for v in node_feats.values())
+    print(f"KG: {total_n} nodes, {total_e} edges, {len(edges)} edge types")
+
+    kg = build_kg_batch(node_feats, edges,
+                        drug_ids=np.arange(node_feats["drug"].shape[0]))
+
+    for scope in ("per_edge_type", "global"):
+        cfg = HGTConfig(hidden_dim=128, num_layers=2, att_heads=4,
+                        softmax_scope=scope)
+        model = HGTEncoder(cfg=cfg, embed_dim=128, drug_only_head=True)
+        t0 = time.perf_counter()
+        variables = jax.jit(
+            lambda: model.init(jax.random.PRNGKey(0), kg, train=False)
+        )()
+        fwd = jax.jit(lambda v, g: model.apply(v, g, train=False)["drug"])
+        out = fwd(variables, kg)
+        float(jnp.max(out[0, :8]))  # compile + completion read
+        compile_s = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        reps = 3
+        for _ in range(reps):
+            out = fwd(variables, kg)
+        float(jnp.max(out[0, :8]))
+        dt = (time.perf_counter() - t0) / reps
+        print(f"scope={scope}: {dt * 1e3:.0f} ms/forward "
+              f"(first call incl. compile {compile_s:.0f} s)")
+
+
+if __name__ == "__main__":
+    main()

@@ -229,3 +229,46 @@ def test_checkpoint_roundtrip(tmp_path, data, trainer):
     assert "str_encoder" in kept and "kg_encoder" in kept
     merged = merge_params(trainer.state.params["encoder"], kept)
     assert "transformer" in merged
+
+
+def test_drug_embeddings_frozen_in_finetune_optimizer():
+    """With chemcpa.use_drugs=True, the rdkit2D drug_embeddings table must
+    stay frozen under the finetune optimizer (reference embedding.py:10-20
+    loads it frozen; the adaptation trainer already excludes it)."""
+    import dataclasses
+
+    from madrigal_tpu.data.collate import DDICollator
+    from madrigal_tpu.data.synthetic import make_dataset
+
+    cfg = tiny_cfg("full_full", num_labels=4)
+    enc = dataclasses.replace(
+        cfg.model.encoder,
+        chemcpa=dataclasses.replace(
+            cfg.model.encoder.chemcpa, use_drugs=True, num_drugs=10,
+            drug_embedding_dim=9, embedding_encoder_width=8,
+            embedding_encoder_depth=1, dosers_width=4, dosers_depth=1,
+        ),
+    )
+    cfg = dataclasses.replace(
+        cfg, model=dataclasses.replace(cfg.model, encoder=enc))
+    ds = make_dataset(num_drugs=10, num_labels=4, num_edges=14, seed=9)
+    batch, kg = DDICollator(ds, split="train")()
+    trainer = FinetuneTrainer(cfg, batch, kg)
+    emb = trainer.state.params["encoder"]["tx_encoder"]["drug_embeddings"]
+    before = np.asarray(emb["embedding"]).copy()
+    for _ in range(3):
+        trainer.train_epoch()
+    after = np.asarray(
+        trainer.state.params["encoder"]["tx_encoder"]["drug_embeddings"]
+        ["embedding"])
+    np.testing.assert_array_equal(before, after)
+    # the drug-embedding ENCODER (trainable) exists alongside the frozen
+    # table -- label check confirms the optimizer grouping
+    from madrigal_tpu.train.optim import param_labels
+
+    labels = param_labels(trainer.state.params)
+    tx_labels = labels["encoder"]["tx_encoder"]
+    assert set(jax.tree_util.tree_leaves(
+        tx_labels["drug_embeddings"])) == {"frozen"}
+    assert "frozen" not in set(jax.tree_util.tree_leaves(
+        tx_labels["drug_embedding_encoder"]))
