@@ -313,6 +313,11 @@ class TrainConfig:
     loss_ratio_single_drug: float = 10.0
     dataset_ratio: str = "1_1_1"
     save_dir: Optional[str] = None
+    # rematerialize each forward inside the (up to 3-forward) loss so the
+    # backward pass holds one forward's activations at a time -- the
+    # TPU-memory knob for full-batch training at reference scale (trades
+    # ~1 extra forward's FLOPs per forward for ~3x lower activation peak)
+    remat_forwards: bool = False
 
 
 @dataclass(frozen=True)

@@ -122,6 +122,12 @@ class FinetuneTrainer:
     def _make_step(self):
         three_way = self.masker.uses_three_way_loss
         with_str_str = self.cfg.train_with_str_str
+        fwd = self._forward_loss
+        if getattr(self.cfg, "remat_forwards", False):
+            # backward recomputes each forward instead of holding all (up
+            # to 3) forwards' activations -- the full-batch-at-scale
+            # memory knob (cfg.remat_forwards)
+            fwd = jax.checkpoint(fwd)
 
         def step(state: TrainState, masks_head, masks_tail, rng):
             def loss_fn(params):
@@ -131,28 +137,28 @@ class FinetuneTrainer:
                 if three_way:
                     total = 0.0
                     if with_str_str:
-                        l, bs = self._forward_loss(
+                        l, bs = fwd(
                             params, bs, masks_head, masks_head,
                             self.w_directed, rngs[0],
                         )
                         losses["str_str"] = l
                         total = total + l
                     # X-X directed
-                    l, bs = self._forward_loss(
+                    l, bs = fwd(
                         params, bs, masks_tail, masks_tail, self.w_directed,
                         rngs[1],
                     )
                     losses["X_X"] = l
                     total = total + l
                     # str-X undirected
-                    l, bs = self._forward_loss(
+                    l, bs = fwd(
                         params, bs, masks_head, masks_tail, self.w_all,
                         rngs[2],
                     )
                     losses["str_X"] = l
                     total = total + l
                 else:
-                    total, bs = self._forward_loss(
+                    total, bs = fwd(
                         params, bs, masks_head, masks_tail, self.w_all,
                         rngs[0],
                     )

@@ -1,0 +1,172 @@
+"""Flagship finetune step time at reference scale on the real chip.
+
+Reference anchor: full-batch DDI finetuning on ONE A100 takes up to the
+16 h SLURM limit for 600-800 epochs (finetune_twosides_scale.sh:6,
+sweep_config_hardy_sweep_321.yaml num_epochs 800). This measures one
+jitted train epoch of OUR flagship model at the same scale:
+
+  * 6,843 drugs (data.py:708), flagship dims (128-d embeddings,
+    2x(8x256) norm-first fusion with 2 tx bottlenecks, chemCPA 512-wide,
+    HGT 128x4x2 over a PrimeKG-scale KG: 122.5k nodes / 8.3M edges),
+  * a full-batch triple list of T pairs (triple-gather scoring instead
+    of the reference's dense [L, N, N] + fancy indexing),
+  * finetune_mode full_full (1 forward/epoch) and str_random_sample
+    (the flagship 3-forward mode).
+
+Usage: python scripts/train_scale_bench.py [--triples 1048576]
+       [--mode str_random_sample] [--small]
+"""
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+
+import jax.numpy as jnp
+
+from madrigal_tpu.config import (
+    ChemCPAConfig,
+    EncoderConfig,
+    FusionConfig,
+    GINConfig,
+    HGTConfig,
+    ModelConfig,
+    OptimizerConfig,
+    TrainConfig,
+)
+from madrigal_tpu.constants import CV_INPUT_DIM, NUM_CELL_LINES, TX_INPUT_DIM
+from madrigal_tpu.data.batch import DrugModalityBatch
+from madrigal_tpu.data.collate import DDIBatch
+from madrigal_tpu.data.kg import build_kg_batch
+from madrigal_tpu.data.molgraph import pack_molecules
+from madrigal_tpu.data.synthetic import random_molecule
+from madrigal_tpu.train.finetune import FinetuneTrainer
+
+from hgt_scale_bench import EDGE_SPEC, NODE_TYPES  # noqa: E402
+
+
+def build_scale_data(n_drugs, n_labels, n_triples, scale, rng):
+    print(f"building {n_drugs} drugs / {n_triples} triples ...")
+    mols = pack_molecules(
+        [random_molecule(rng, int(rng.randint(8, 40)))
+         for _ in range(n_drugs)]
+    )
+    node_feats = {
+        nt: rng.randn(max(n // scale, 8), 128).astype(np.float32)
+        for nt, n in NODE_TYPES.items()
+    }
+    edges = {}
+    for src, rel, dst, e in EDGE_SPEC:
+        e = max(e // scale, 16)
+        edges[(src, rel, dst)] = np.stack([
+            rng.randint(0, node_feats[src].shape[0], e),
+            rng.randint(0, node_feats[dst].shape[0], e),
+        ]).astype(np.int32)
+    n_kg_drugs = node_feats["drug"].shape[0]
+    kg = build_kg_batch(node_feats, edges, drug_ids=np.arange(n_kg_drugs))
+
+    masks = np.zeros((n_drugs, 3 + NUM_CELL_LINES), bool)
+    masks[:, 1] = rng.rand(n_drugs) > 0.7   # 70% have KG
+    masks[:, 2] = rng.rand(n_drugs) > 0.5   # 50% have cv
+    masks[:, 3:] = rng.rand(n_drugs, NUM_CELL_LINES) > 0.3
+    kg_rows = np.where(
+        masks[:, 1], -1,
+        rng.randint(0, n_kg_drugs, n_drugs),
+    ).astype(np.int32)
+
+    store = DrugModalityBatch(
+        drugs=jnp.arange(n_drugs, dtype=jnp.int32),
+        mols=mols,
+        kg_rows=jnp.asarray(kg_rows),
+        cv=jnp.asarray(rng.randn(n_drugs, CV_INPUT_DIM).astype(np.float32)),
+        tx_sigs=jnp.asarray(
+            rng.randn(NUM_CELL_LINES, n_drugs, TX_INPUT_DIM)
+            .astype(np.float32)),
+        tx_dosages=jnp.asarray(
+            rng.rand(NUM_CELL_LINES, n_drugs).astype(np.float32)),
+        masks=jnp.asarray(masks),
+    )
+    batch = DDIBatch(
+        head=store, tail=store,
+        head_idx=jnp.asarray(rng.randint(0, n_drugs, n_triples), jnp.int32),
+        tail_idx=jnp.asarray(rng.randint(0, n_drugs, n_triples), jnp.int32),
+        labels=jnp.asarray(rng.randint(0, n_labels, n_triples), jnp.int32),
+        pos_neg=jnp.asarray(
+            (rng.rand(n_triples) < 0.5).astype(np.float32)),
+        mask=jnp.ones(n_triples, bool),
+    )
+    return batch, kg
+
+
+def flagship_cfg(n_labels, mode):
+    enc = EncoderConfig(
+        feature_dim=128,
+        gin=GINConfig(hidden_dims=(128, 128, 128), num_mlp_layer=3),
+        hgt=HGTConfig(hidden_dim=128, num_layers=2, att_heads=4),
+        chemcpa=ChemCPAConfig(dim=128, autoencoder_width=512,
+                              autoencoder_depth=2, use_drugs=False),
+        transformer=FusionConfig(
+            num_layers=2, att_heads=8, head_dim=256, ffn_dim=1024,
+            dropout=0.2, actn="gelu", norm_first=True, agg="x-attn",
+            num_tx_bottlenecks=2,
+        ),
+        pos_emb_type="sinusoidal",
+        fusion="transformer_uni_proj",
+    )
+    return TrainConfig(
+        model=ModelConfig(encoder=enc, prediction_dim=n_labels),
+        optim=OptimizerConfig(),
+        finetune_mode=mode, num_epochs=800, warmup_epochs=10, seed=0,
+    )
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--triples", type=int, default=1 << 20)
+    ap.add_argument("--labels", type=int, default=960)
+    ap.add_argument("--mode", type=str, default="full_full")
+    ap.add_argument("--small", action="store_true")
+    args = ap.parse_args()
+    scale = 16 if args.small else 1
+    n_drugs = 6843 // scale
+    n_triples = args.triples // scale
+
+    rng = np.random.RandomState(0)
+    batch, kg = build_scale_data(n_drugs, args.labels, n_triples, scale,
+                                 rng)
+    cfg = flagship_cfg(args.labels, args.mode)
+
+    t0 = time.perf_counter()
+    trainer = FinetuneTrainer(cfg, batch, kg)
+    print(f"init (traced+compiled init fns): {time.perf_counter()-t0:.0f} s")
+
+    t0 = time.perf_counter()
+    losses = trainer.train_epoch()
+    print(f"first epoch (incl. step compile): {time.perf_counter()-t0:.0f} s"
+          f" loss={losses['total']:.4f}")
+
+    reps = 5
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        losses = trainer.train_epoch()
+    # train_epoch reads losses back each call (device->host), which is the
+    # completion barrier
+    dt = (time.perf_counter() - t0) / reps
+    print(
+        f"mode={args.mode}: {dt:.2f} s/epoch at N={n_drugs}, "
+        f"T={n_triples}, L={args.labels} -> 800-epoch finetune ~= "
+        f"{dt * 800 / 60:.0f} min on one chip (reference: <=16 h on A100,"
+        " finetune_twosides_scale.sh:6)"
+    )
+
+
+if __name__ == "__main__":
+    main()

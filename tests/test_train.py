@@ -272,3 +272,21 @@ def test_drug_embeddings_frozen_in_finetune_optimizer():
         tx_labels["drug_embeddings"])) == {"frozen"}
     assert "frozen" not in set(jax.tree_util.tree_leaves(
         tx_labels["drug_embedding_encoder"]))
+
+
+def test_remat_forwards_matches_unremat(data):
+    """remat_forwards changes memory, not numerics: one epoch's losses and
+    updated params agree with the default step."""
+    import dataclasses
+
+    ds, batch, kg = data
+    cfg = tiny_cfg("str_random_sample")
+    t1 = FinetuneTrainer(cfg, batch, kg)
+    t2 = FinetuneTrainer(dataclasses.replace(cfg, remat_forwards=True),
+                         batch, kg)
+    l1 = t1.train_epoch()
+    l2 = t2.train_epoch()
+    assert abs(l1["total"] - l2["total"]) < 1e-5, (l1, l2)
+    for a, b in zip(jax.tree_util.tree_leaves(t1.state.params),
+                    jax.tree_util.tree_leaves(t2.state.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
