@@ -416,9 +416,16 @@ class MadrigalMultilabel(nn.Module):
         return self.single_drug_head(z)
 
     def warmup(self, head, tail, kg):
-        """Trace every parameterized path for full flax init."""
+        """Trace every parameterized path for full flax init.
+
+        Uses the triple-gather decode (one (0, 0, 0) triple) rather than
+        all_pairs: init must not materialize the [L, N, N] score tensor --
+        at reference scale (L=960, N=6843) that is a 181 GB allocation.
+        """
         z = _encoder_warmup(self.encoder, head, kg)
-        scores = self.decoder.all_pairs(z, z)
+        scores = self.decoder.triples(
+            z[:1], z[:1], jnp.zeros((1,), jnp.int32)
+        )
         total = jnp.sum(scores)
         if self.prediction_dim_single_drug:
             total = total + jnp.sum(self.single_drug_head(z))
