@@ -101,21 +101,25 @@ class FinetuneTrainer:
         self._step = jax.jit(self._make_step(), donate_argnums=(0,))
 
     # ------------------------------------------------------------------
-    def _forward_loss(self, params, batch_stats, masks_head, masks_tail,
-                      weights, dropout_rng):
-        head = dataclasses.replace(self.batch.head, masks=masks_head)
-        tail = dataclasses.replace(self.batch.tail, masks=masks_tail)
+    def _forward_loss(self, params, batch_stats, batch, kg, masks_head,
+                      masks_tail, weights, dropout_rng):
+        # batch/kg are jit ARGUMENTS, not closure captures: closure
+        # constants are serialized into the compiled program, which at
+        # reference scale (6843 drugs x 16 cell lines x 978 genes + 8.3M
+        # KG edges + ~1M triples) is gigabytes of baked-in literals
+        head = dataclasses.replace(batch.head, masks=masks_head)
+        tail = dataclasses.replace(batch.tail, masks=masks_tail)
         out, updates = self.model.apply(
             {"params": params, "batch_stats": batch_stats},
-            head, tail, self.kg,
-            self.batch.head_idx, self.batch.tail_idx, self.batch.labels,
+            head, tail, kg,
+            batch.head_idx, batch.tail_idx, batch.labels,
             train=True,
             method=MadrigalMultilabel.score_triples,
             mutable=["batch_stats"],
             rngs={"dropout": dropout_rng},
         )
         loss = masked_bce(
-            out, self.batch.pos_neg, weights, self.cfg.loss_readout
+            out, batch.pos_neg, weights, self.cfg.loss_readout
         )
         return loss, updates["batch_stats"]
 
@@ -129,7 +133,8 @@ class FinetuneTrainer:
             # memory knob (cfg.remat_forwards)
             fwd = jax.checkpoint(fwd)
 
-        def step(state: TrainState, masks_head, masks_tail, rng):
+        def step(state: TrainState, batch, kg, w_all, w_directed,
+                 masks_head, masks_tail, rng):
             def loss_fn(params):
                 bs = state.batch_stats
                 rngs = jax.random.split(rng, 3)
@@ -138,29 +143,29 @@ class FinetuneTrainer:
                     total = 0.0
                     if with_str_str:
                         l, bs = fwd(
-                            params, bs, masks_head, masks_head,
-                            self.w_directed, rngs[0],
+                            params, bs, batch, kg, masks_head, masks_head,
+                            w_directed, rngs[0],
                         )
                         losses["str_str"] = l
                         total = total + l
                     # X-X directed
                     l, bs = fwd(
-                        params, bs, masks_tail, masks_tail, self.w_directed,
-                        rngs[1],
+                        params, bs, batch, kg, masks_tail, masks_tail,
+                        w_directed, rngs[1],
                     )
                     losses["X_X"] = l
                     total = total + l
                     # str-X undirected
                     l, bs = fwd(
-                        params, bs, masks_head, masks_tail, self.w_all,
-                        rngs[2],
+                        params, bs, batch, kg, masks_head, masks_tail,
+                        w_all, rngs[2],
                     )
                     losses["str_X"] = l
                     total = total + l
                 else:
                     total, bs = fwd(
-                        params, bs, masks_head, masks_tail, self.w_all,
-                        rngs[0],
+                        params, bs, batch, kg, masks_head, masks_tail,
+                        w_all, rngs[0],
                     )
                 losses["total"] = total
                 return total, (losses, bs)
@@ -188,7 +193,8 @@ class FinetuneTrainer:
         mh, mt = self.masker.sample_epoch()
         self.rng, key = jax.random.split(self.rng)
         self.state, losses = self._step(
-            self.state, jnp.asarray(mh), jnp.asarray(mt), key
+            self.state, self.batch, self.kg, self.w_all, self.w_directed,
+            jnp.asarray(mh), jnp.asarray(mt), key,
         )
         return {k: float(v) for k, v in losses.items()}
 
