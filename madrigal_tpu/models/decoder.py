@@ -64,14 +64,50 @@ class BilinearDDIScorer(nn.Module):
         zw = jnp.einsum("nd,lde->lne", z_head, w)
         return jnp.einsum("lne,me->lnm", zw, z_tail)
 
+    # one chunk's gathered [C, D, D] weights: 8192 * 128 * 128 * 4B = 512MB
+    TRIPLE_CHUNK = 8192
+
     def triples(self, z_head, z_tail, labels):
         """Scores for aligned (head, tail, label) triples.
 
         z_head/z_tail: [T, D]; labels: [T] int -> [T] scores.
-        One gather + two small contractions; avoids the [L, N, N] tensor.
+        Per-triple weight gathers + two small contractions; avoids the
+        [L, N, N] tensor. Large T scans in TRIPLE_CHUNK chunks so the
+        gathered [T, D, D] weights never materialize at once (at the
+        reference's ~1M-triple full batch that would be 64 GB).
         """
-        w = symmetrize(self.weight)[labels]  # [T, D, D]
-        return jnp.einsum("td,tde,te->t", z_head, w, z_tail)
+        w_sym = symmetrize(self.weight)
+        T = z_head.shape[0]
+        C = self.TRIPLE_CHUNK
+        if T <= C:
+            w = w_sym[labels]  # [T, D, D]
+            return jnp.einsum("td,tde,te->t", z_head, w, z_tail)
+
+        import jax
+
+        pad = (-T) % C
+        zh = jnp.pad(z_head, ((0, pad), (0, 0)))
+        zt = jnp.pad(z_tail, ((0, pad), (0, 0)))
+        lb = jnp.pad(labels, (0, pad))
+        n_chunks = (T + pad) // C
+
+        @jax.checkpoint  # recompute the [C, D, D] gather in the backward:
+        # without remat every chunk's gathered weights are saved as scan
+        # residuals, re-materializing the full 64 GB
+        def chunk_scores(args):
+            zh_c, zt_c, lb_c = args
+            w = w_sym[lb_c]  # [C, D, D]
+            return jnp.einsum("td,tde,te->t", zh_c, w, zt_c)
+
+        def body(_, args):
+            return None, chunk_scores(args)
+
+        _, out = jax.lax.scan(
+            body, None,
+            (zh.reshape(n_chunks, C, -1), zt.reshape(n_chunks, C, -1),
+             lb.reshape(n_chunks, C)),
+        )
+        return out.reshape(-1)[:T]
 
     def pairs_all_labels(self, z_head, z_tail):
         """Scores for aligned (head, tail) pairs across all labels:
