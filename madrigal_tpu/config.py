@@ -103,6 +103,11 @@ class HGTConfig:
     att_heads: int = 4
     group: str = "sum"
     softmax_scope: str = "per_edge_type"
+    # rematerialize each edge type's message pass in the backward: without
+    # it, training over a full-scale KG (8.3M edges, 17 types) keeps every
+    # type's [E, H, D] attention buffers alive simultaneously (~17 GB
+    # padded). per_edge_type scope only.
+    remat_edge_types: bool = False
 
 
 @dataclass(frozen=True)

@@ -37,11 +37,33 @@ from ..data.kg import HeteroKGBatch, edge_key
 from ..ops.segment import segment_softmax, segment_sum
 
 
+def _edge_type_messages(q_dst, k_src, v_src, k_rel, v_rel, p_rel,
+                        src, dst, mask, n_dst: int):
+    """One edge type's attention aggregate [n_dst, F] (pure arrays so it
+    can be jax.checkpoint-ed: at full-KG training scale the per-edge
+    [E, H, D] buffers of all 17 edge types otherwise stay live through
+    the backward)."""
+    D = k_rel.shape[-1]
+    k_s = jnp.einsum("nhd,hde->nhe", k_src, k_rel)
+    v_s = jnp.einsum("nhd,hde->nhe", v_src, v_rel)
+    dst_safe = jnp.where(mask, dst, n_dst)
+    logits = (
+        jnp.sum(q_dst[dst] * k_s[src], axis=-1)
+        * p_rel[None, :]
+        / jnp.sqrt(jnp.asarray(D, jnp.float32))
+    )  # [E, H]
+    alpha = segment_softmax(logits, dst_safe, n_dst, mask=mask)
+    msg = v_s[src] * alpha[..., None]  # [E, H, D]
+    n, h, d = n_dst, msg.shape[1], msg.shape[2]
+    return segment_sum(msg, dst_safe, n_dst).reshape(n, h * d)
+
+
 class HGTConv(nn.Module):
     out_channels: int
     heads: int
     group: str = "sum"
     softmax_scope: str = "per_edge_type"
+    remat_edge_types: bool = False
 
     @nn.compact
     def __call__(self, g: HeteroKGBatch, x_dict: Dict[str, jnp.ndarray]):
@@ -49,6 +71,12 @@ class HGTConv(nn.Module):
         H = self.heads
         D = F // H
         assert D * H == F
+        edge_fn = _edge_type_messages
+        if self.remat_edge_types:
+            import jax
+
+            edge_fn = jax.checkpoint(_edge_type_messages,
+                                     static_argnums=(9,))
 
         k_dict, q_dict, v_dict = {}, {}, {}
         for nt in g.metadata.node_types:
@@ -72,27 +100,28 @@ class HGTConv(nn.Module):
             )
             p_rel = self.param(f"p_rel__{ek}", nn.initializers.ones, (H,))
 
-            # node-level relation transforms (cheaper than per-edge)
-            k_s = jnp.einsum("nhd,hde->nhe", k_dict[src_t], k_rel)
-            v_s = jnp.einsum("nhd,hde->nhe", v_dict[src_t], v_rel)
-
             src = g.edge_src[ek]
             dst = g.edge_dst[ek]
             mask = g.edge_mask[ek]
             n_dst = g.num_nodes(dst_t)
-            dst_safe = jnp.where(mask, dst, n_dst)
 
-            logits = (
-                jnp.sum(q_dict[dst_t][dst] * k_s[src], axis=-1)
-                * p_rel[None, :]
-                / jnp.sqrt(jnp.asarray(D, jnp.float32))
-            )  # [E, H]
             if self.softmax_scope == "global":
+                # global scope must hold every type's logits/values until
+                # the per-dst-type softmax, so remat cannot apply here
+                k_s = jnp.einsum("nhd,hde->nhe", k_dict[src_t], k_rel)
+                v_s = jnp.einsum("nhd,hde->nhe", v_dict[src_t], v_rel)
+                dst_safe = jnp.where(mask, dst, n_dst)
+                logits = (
+                    jnp.sum(q_dict[dst_t][dst] * k_s[src], axis=-1)
+                    * p_rel[None, :]
+                    / jnp.sqrt(jnp.asarray(D, jnp.float32))
+                )  # [E, H]
                 pending[dst_t].append((logits, v_s[src], dst_safe, mask))
                 continue
-            alpha = segment_softmax(logits, dst_safe, n_dst, mask=mask)
-            msg = v_s[src] * alpha[..., None]  # [E, H, D]
-            out = segment_sum(msg, dst_safe, n_dst).reshape(n_dst, F)
+            out = edge_fn(
+                q_dict[dst_t], k_dict[src_t], v_dict[src_t],
+                k_rel, v_rel, p_rel, src, dst, mask, n_dst,
+            )
             agg[dst_t].append(out)
 
         if self.softmax_scope == "global":
@@ -155,6 +184,8 @@ class HGTEncoder(nn.Module):
                 group=self.cfg.group,
                 softmax_scope=getattr(self.cfg, "softmax_scope",
                                       "per_edge_type"),
+                remat_edge_types=getattr(self.cfg, "remat_edge_types",
+                                         False),
                 name=f"conv_{i}",
             )(g, x)
             # reference relu placement (models.py:90-94): relu after conv i

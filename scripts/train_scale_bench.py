@@ -110,7 +110,8 @@ def flagship_cfg(n_labels, mode):
     enc = EncoderConfig(
         feature_dim=128,
         gin=GINConfig(hidden_dims=(128, 128, 128), num_mlp_layer=3),
-        hgt=HGTConfig(hidden_dim=128, num_layers=2, att_heads=4),
+        hgt=HGTConfig(hidden_dim=128, num_layers=2, att_heads=4,
+                      remat_edge_types=True),
         chemcpa=ChemCPAConfig(dim=128, autoencoder_width=512,
                               autoencoder_depth=2, use_drugs=False),
         transformer=FusionConfig(
@@ -125,6 +126,7 @@ def flagship_cfg(n_labels, mode):
         model=ModelConfig(encoder=enc, prediction_dim=n_labels),
         optim=OptimizerConfig(),
         finetune_mode=mode, num_epochs=800, warmup_epochs=10, seed=0,
+        remat_forwards=True,
     )
 
 

@@ -274,3 +274,30 @@ def test_convert_reference_encoder_enforces_scope(rng):
     params, _ = convert_reference_encoder(sd, cfg_ok, Meta(),
                                           strict_kg=True)
     assert "kg_encoder" in params and "conv_0" in params["kg_encoder"]
+
+
+def test_hgt_remat_edge_types_matches(rng):
+    """remat_edge_types changes memory, not numerics (fwd + grads)."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    node_feats, edges = small_kg(rng)
+    batch = build_kg_batch(node_feats, edges, drug_ids=np.arange(10))
+    cfg = HGTConfig(hidden_dim=16, num_layers=2, att_heads=4)
+    cfg_r = dataclasses.replace(cfg, remat_edge_types=True)
+    m1 = HGTEncoder(cfg=cfg, embed_dim=8, drug_only_head=True)
+    m2 = HGTEncoder(cfg=cfg_r, embed_dim=8, drug_only_head=True)
+    v = m1.init(jax.random.PRNGKey(0), batch, train=False)
+    o1 = m1.apply(v, batch, train=False)["drug"]
+    o2 = m2.apply(v, batch, train=False)["drug"]
+    np.testing.assert_allclose(np.asarray(o1), np.asarray(o2), atol=1e-6)
+
+    g1 = jax.grad(lambda v: jnp.sum(
+        m1.apply(v, batch, train=False)["drug"] ** 2))(v)
+    g2 = jax.grad(lambda v: jnp.sum(
+        m2.apply(v, batch, train=False)["drug"] ** 2))(v)
+    for a, b in zip(jax.tree_util.tree_leaves(g1),
+                    jax.tree_util.tree_leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
