@@ -184,6 +184,10 @@ class FusionConfig:
     norm_first: bool = False
     agg: str = "x-attn"  # 'mean' | 'max' | 'cls' | 'x-attn'
     num_tx_bottlenecks: int = 0
+    # recompute each transformer layer in the backward (memory knob for
+    # full-batch training at reference scale: the flagship 2048-latent
+    # fusion's saved activations over 6843x21 tokens dominate HBM)
+    remat: bool = False
 
     @property
     def latent_dim(self) -> int:

@@ -94,8 +94,10 @@ class TransformerEncoderLayer(nn.Module):
     norm_first: bool = False
 
     @nn.compact
-    def __call__(self, x, key_padding_mask=None, attn_mask=None, *,
+    def __call__(self, x, key_padding_mask=None, attn_mask=None,
                  train: bool = False, return_weights: bool = False):
+        # train/return_weights are positional-or-keyword so nn.remat can
+        # mark them static (keyword-only args cannot be static_argnums)
         act = activation(self.actn)
         attn = MultiheadAttention(
             embed_dim=self.d_model, num_heads=self.nhead,
@@ -149,6 +151,9 @@ class TransformerEncoder(nn.Module):
     dropout: float = 0.1
     actn: str = "relu"
     norm_first: bool = False
+    remat: bool = False  # recompute each layer in the backward (memory
+    # knob for full-batch training at reference scale; attention-weight
+    # capture layers are never rematted)
 
     @nn.compact
     def __call__(self, x, key_padding_mask=None, attn_mask=None, *,
@@ -156,14 +161,17 @@ class TransformerEncoder(nn.Module):
         last_weights = None
         for i in range(self.num_layers):
             want = return_last_attn and (i == self.num_layers - 1)
-            layer = TransformerEncoderLayer(
+            cls = TransformerEncoderLayer
+            if self.remat and not want:
+                cls = nn.remat(TransformerEncoderLayer,
+                               static_argnums=(4, 5))
+            layer = cls(
                 d_model=self.d_model, nhead=self.nhead,
                 dim_feedforward=self.dim_feedforward, dropout=self.dropout,
                 actn=self.actn, norm_first=self.norm_first,
                 name=f"layer_{i}",
             )
-            out = layer(x, key_padding_mask, attn_mask, train=train,
-                        return_weights=want)
+            out = layer(x, key_padding_mask, attn_mask, train, want)
             if want:
                 x, last_weights = out
             else:

@@ -117,7 +117,7 @@ def flagship_cfg(n_labels, mode):
         transformer=FusionConfig(
             num_layers=2, att_heads=8, head_dim=256, ffn_dim=1024,
             dropout=0.2, actn="gelu", norm_first=True, agg="x-attn",
-            num_tx_bottlenecks=2,
+            num_tx_bottlenecks=2, remat=True,
         ),
         pos_emb_type="sinusoidal",
         fusion="transformer_uni_proj",

@@ -191,3 +191,35 @@ def test_bilinear_decoder_parity(rng):
     np.testing.assert_allclose(
         np.asarray(trip), ref[labels, hi, ti], atol=1e-5, rtol=1e-5
     )
+
+
+def test_fusion_remat_matches(rng):
+    """FusionConfig.remat changes memory, not numerics (fwd + grads)."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from madrigal_tpu.config import FusionConfig
+    from madrigal_tpu.models.fusion import TransformerFusion
+
+    cfg = FusionConfig(num_layers=2, att_heads=2, head_dim=8, ffn_dim=32,
+                       dropout=0.0, norm_first=True, agg="x-attn",
+                       num_tx_bottlenecks=2)
+    cfg_r = dataclasses.replace(cfg, remat=True)
+    S = NUM_MOD + 2
+    kwargs = dict(embed_dim=16, num_kv_tokens=S, num_non_tx=3)
+    m1 = TransformerFusion(cfg=cfg, **kwargs)
+    m2 = TransformerFusion(cfg=cfg_r, **kwargs)
+    x = jnp.asarray(rng.randn(4, S, 16).astype(np.float32))
+    kpm = jnp.asarray(rng.rand(4, S) < 0.3)
+    v = m1.init(jax.random.PRNGKey(0), x, kpm, train=False)
+    o1 = m1.apply(v, x, kpm, train=False)
+    o2 = m2.apply(v, x, kpm, train=False)  # identical param tree
+    np.testing.assert_allclose(np.asarray(o1), np.asarray(o2), atol=1e-6)
+
+    g1 = jax.grad(lambda v: jnp.sum(m1.apply(v, x, kpm, train=False) ** 2))(v)
+    g2 = jax.grad(lambda v: jnp.sum(m2.apply(v, x, kpm, train=False) ** 2))(v)
+    for a, b in zip(jax.tree_util.tree_leaves(g1),
+                    jax.tree_util.tree_leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
