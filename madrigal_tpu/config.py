@@ -234,6 +234,11 @@ class EncoderConfig:
     normalize: bool = False
     adapt_before_fusion: bool = False
     use_tx_basal: bool = False
+    # run the fusion transformer over drug-axis chunks of this size (each
+    # drug's ~21-token sequence is independent, so this is EXACT): bounds
+    # the 2048-latent activation footprint for full-batch training at
+    # reference scale. None = whole batch at once.
+    fusion_batch_chunk: Optional[int] = None
     num_modalities: int = NUM_MODALITIES
     num_non_tx_modalities: int = NUM_NON_TX_MODALITIES
 

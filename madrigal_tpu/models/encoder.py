@@ -321,9 +321,22 @@ class MadrigalEncoder(nn.Module):
                     return_last_attn=True,
                 )
             else:
-                z_fusion = self.transformer(
-                    seq, fusion_mask, src_mask, train=train
-                )
+                chunk = getattr(c, "fusion_batch_chunk", None)
+                if chunk and B > chunk:
+                    # per-drug sequences are independent: chunking the
+                    # drug axis is exact and bounds the latent-width
+                    # activation footprint (full-batch at reference scale)
+                    outs = []
+                    for s in range(0, B, chunk):
+                        outs.append(self.transformer(
+                            seq[s:s + chunk], fusion_mask[s:s + chunk],
+                            src_mask, train=train,
+                        ))
+                    z_fusion = jnp.concatenate(outs, axis=0)
+                else:
+                    z_fusion = self.transformer(
+                        seq, fusion_mask, src_mask, train=train
+                    )
 
             if c.fusion == "transformer_uni_proj":
                 avail = (~masks).astype(all_embeds.dtype)

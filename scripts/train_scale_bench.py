@@ -121,6 +121,7 @@ def flagship_cfg(n_labels, mode):
         ),
         pos_emb_type="sinusoidal",
         fusion="transformer_uni_proj",
+        fusion_batch_chunk=512,
     )
     return TrainConfig(
         model=ModelConfig(encoder=enc, prediction_dim=n_labels),

@@ -151,3 +151,49 @@ def test_on_the_fly_negative_sampling(ds):
     for r in neg_rows:
         assert (labels[r], hg[r], tg[r]) not in truths
         assert hg[r] != tg[r]
+
+
+def test_fusion_batch_chunk_exact():
+    """fusion_batch_chunk is numerically exact: per-drug sequences are
+    independent through the fusion transformer."""
+    import dataclasses
+
+    import jax
+
+    from madrigal_tpu.config import (
+        ChemCPAConfig, EncoderConfig, FusionConfig, GINConfig, HGTConfig,
+        MLPEncoderConfig, ProjectorConfig,
+    )
+    from madrigal_tpu.data.collate import DDICollator
+    from madrigal_tpu.data.synthetic import make_dataset
+    from madrigal_tpu.models.encoder import MadrigalEncoder, init_encoder
+
+    enc = EncoderConfig(
+        feature_dim=16,
+        gin=GINConfig(hidden_dims=(16, 16), num_mlp_layer=2),
+        hgt=HGTConfig(hidden_dim=8, num_layers=2, att_heads=2),
+        cv=MLPEncoderConfig(hidden_dims=(32, 16)),
+        chemcpa=ChemCPAConfig(dim=16, autoencoder_width=32,
+                              autoencoder_depth=1),
+        transformer=FusionConfig(num_layers=1, att_heads=2, head_dim=8,
+                                 ffn_dim=32, dropout=0.0, norm_first=True,
+                                 agg="x-attn", num_tx_bottlenecks=2),
+        proj=ProjectorConfig(hidden_dims=(32, 32)),
+        pos_emb_type="sinusoidal",
+    )
+    ds = make_dataset(num_drugs=13, num_labels=4, num_edges=16, seed=4)
+    coll = DDICollator(ds, split="train")
+    batch = coll.drug_batch(np.arange(13))
+    kg = coll.kg_batch()
+
+    m1 = MadrigalEncoder(cfg=enc)
+    m2 = MadrigalEncoder(
+        cfg=dataclasses.replace(enc, fusion_batch_chunk=5))  # 13 -> 5,5,3
+    v = init_encoder(m1, jax.random.PRNGKey(0), batch, kg)
+    z1 = m1.apply(v, batch, kg=kg, train=False,
+                  method=lambda m, b, kg, train: m.encode(b, kg=kg,
+                                                          train=train))
+    z2 = m2.apply(v, batch, kg=kg, train=False,
+                  method=lambda m, b, kg, train: m.encode(b, kg=kg,
+                                                          train=train))
+    np.testing.assert_allclose(np.asarray(z1), np.asarray(z2), atol=1e-6)
