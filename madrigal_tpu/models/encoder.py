@@ -153,7 +153,14 @@ class MadrigalEncoder(nn.Module):
             dropout=c.pos_emb_dropout,
             name="pos_encoder",
         )
-        self.transformer = TransformerFusion(
+        # with cfg.transformer.remat the WHOLE fusion call rematerializes
+        # (only its 128-wide inputs persist as backward residuals; the
+        # 2048-latent internals recompute) -- same param tree either way
+        fusion_cls = (
+            nn.remat(TransformerFusion, static_argnums=(4, 5))
+            if getattr(c.transformer, "remat", False) else TransformerFusion
+        )
+        self.transformer = fusion_cls(
             cfg=c.transformer,
             embed_dim=c.feature_dim,
             num_kv_tokens=c.num_modalities + num_bt,
@@ -317,8 +324,7 @@ class MadrigalEncoder(nn.Module):
                 # captures them via forward hooks -- predict.py:643,
                 # models.py:388-399)
                 z_fusion, attn = self.transformer(
-                    seq, fusion_mask, src_mask, train=train,
-                    return_last_attn=True,
+                    seq, fusion_mask, src_mask, train, True,
                 )
             else:
                 chunk = getattr(c, "fusion_batch_chunk", None)
@@ -330,12 +336,12 @@ class MadrigalEncoder(nn.Module):
                     for s in range(0, B, chunk):
                         outs.append(self.transformer(
                             seq[s:s + chunk], fusion_mask[s:s + chunk],
-                            src_mask, train=train,
+                            src_mask, train, False,
                         ))
                     z_fusion = jnp.concatenate(outs, axis=0)
                 else:
                     z_fusion = self.transformer(
-                        seq, fusion_mask, src_mask, train=train
+                        seq, fusion_mask, src_mask, train, False
                     )
 
             if c.fusion == "transformer_uni_proj":

@@ -83,8 +83,10 @@ class TransformerFusion(nn.Module):
     num_non_tx: int
 
     @nn.compact
-    def __call__(self, fusion_sequence, fusion_mask, src_mask=None, *,
+    def __call__(self, fusion_sequence, fusion_mask, src_mask=None,
                  train: bool = False, return_last_attn: bool = False):
+        # train/return_last_attn are positional-or-keyword so the encoder
+        # can wrap the whole module in nn.remat with them static
         cfg = self.cfg
         latent = cfg.latent_dim
         B, S, _ = fusion_sequence.shape
