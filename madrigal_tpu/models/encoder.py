@@ -331,13 +331,24 @@ class MadrigalEncoder(nn.Module):
                 if chunk and B > chunk:
                     # per-drug sequences are independent: chunking the
                     # drug axis is exact and bounds the latent-width
-                    # activation footprint (full-batch at reference scale)
+                    # activation footprint (full-batch at reference
+                    # scale). The optimization_barrier threads a data
+                    # dependency between chunks -- without it XLA's
+                    # scheduler runs ALL chunks' (re)computations
+                    # concurrently and the memory win evaporates.
+                    import jax
+
                     outs = []
+                    carry = jnp.zeros((), seq.dtype)
                     for s in range(0, B, chunk):
-                        outs.append(self.transformer(
-                            seq[s:s + chunk], fusion_mask[s:s + chunk],
-                            src_mask, train, False,
-                        ))
+                        cs, cm, _ = jax.lax.optimization_barrier(
+                            (seq[s:s + chunk], fusion_mask[s:s + chunk],
+                             carry)
+                        )
+                        out = self.transformer(cs, cm, src_mask, train,
+                                               False)
+                        carry = out[0, 0]
+                        outs.append(out)
                     z_fusion = jnp.concatenate(outs, axis=0)
                 else:
                     z_fusion = self.transformer(
