@@ -86,9 +86,13 @@ class HGTConv(nn.Module):
             q_dict[nt] = q.reshape(-1, H, D)
             v_dict[nt] = v.reshape(-1, H, D)
 
-        # per-edge-type logits + transformed values
+        # per-edge-type logits + transformed values. When rematting, a
+        # barrier carry serializes the edge types: XLA otherwise schedules
+        # all 17 types' (re)computations concurrently and the [E, H, D]
+        # buffers coexist anyway.
         agg: Dict[str, list] = {nt: [] for nt in g.metadata.node_types}
         pending: Dict[str, list] = {nt: [] for nt in g.metadata.node_types}
+        carry = None
         for et in g.metadata.edge_types:
             src_t, _, dst_t = et
             ek = edge_key(et)
@@ -118,10 +122,20 @@ class HGTConv(nn.Module):
                 )  # [E, H]
                 pending[dst_t].append((logits, v_s[src], dst_safe, mask))
                 continue
+            if self.remat_edge_types:
+                import jax
+
+                if carry is None:
+                    carry = jnp.zeros((), jnp.float32)
+                src, dst, carry_in = jax.lax.optimization_barrier(
+                    (src, dst, carry)
+                )
             out = edge_fn(
                 q_dict[dst_t], k_dict[src_t], v_dict[src_t],
                 k_rel, v_rel, p_rel, src, dst, mask, n_dst,
             )
+            if self.remat_edge_types:
+                carry = out[0, 0]
             agg[dst_t].append(out)
 
         if self.softmax_scope == "global":

@@ -140,7 +140,17 @@ class FinetuneTrainer:
                 rngs = jax.random.split(rng, 3)
                 losses = {}
                 if three_way:
+                    # barrier-carry between the forwards: with remat, XLA
+                    # otherwise interleaves all three recomputations and
+                    # the peak memory win disappears
+                    def fence(m, prev):
+                        if not getattr(self.cfg, "remat_forwards", False):
+                            return m
+                        m, _ = jax.lax.optimization_barrier((m, prev))
+                        return m
+
                     total = 0.0
+                    prev = jnp.zeros(())
                     if with_str_str:
                         l, bs = fwd(
                             params, bs, batch, kg, masks_head, masks_head,
@@ -148,17 +158,18 @@ class FinetuneTrainer:
                         )
                         losses["str_str"] = l
                         total = total + l
+                        prev = l
                     # X-X directed
                     l, bs = fwd(
-                        params, bs, batch, kg, masks_tail, masks_tail,
-                        w_directed, rngs[1],
+                        params, bs, batch, kg, fence(masks_tail, prev),
+                        masks_tail, w_directed, rngs[1],
                     )
                     losses["X_X"] = l
                     total = total + l
                     # str-X undirected
                     l, bs = fwd(
-                        params, bs, batch, kg, masks_head, masks_tail,
-                        w_all, rngs[2],
+                        params, bs, batch, kg, fence(masks_head, l),
+                        masks_tail, w_all, rngs[2],
                     )
                     losses["str_X"] = l
                     total = total + l
