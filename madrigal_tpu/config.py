@@ -108,6 +108,11 @@ class HGTConfig:
     # type's [E, H, D] attention buffers alive simultaneously (~17 GB
     # padded). per_edge_type scope only.
     remat_edge_types: bool = False
+    # graph-parallel message passing: when set to a mesh axis name, the
+    # conv expects to run inside shard_map with every edge array sharded
+    # over that axis (node tables + weights replicated) and merges segment
+    # reductions with psum/pmax collectives. See parallel/kg_shard.py.
+    shard_axis: Optional[str] = None
 
 
 @dataclass(frozen=True)

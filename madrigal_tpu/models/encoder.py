@@ -418,11 +418,19 @@ class MadrigalMultilabel(nn.Module):
                 self.prediction_dim_single_drug, name="single_drug_head"
             )
 
-    def embed_pair(self, head, tail, kg, *, train=False):
-        """Encode head and tail batches, sharing one KG message pass."""
-        table = self.encoder.kg_drug_table(kg, train=train)
-        z_head = self.encoder.encode(head, kg_drug_table=table, train=train)
-        z_tail = self.encoder.encode(tail, kg_drug_table=table, train=train)
+    def embed_pair(self, head, tail, kg, *, kg_drug_table=None, train=False):
+        """Encode head and tail batches, sharing one KG message pass.
+
+        `kg_drug_table` short-circuits the KG forward with a precomputed
+        drug-node table -- the seam the graph-parallel training step uses
+        to run the HGT edge-sharded (parallel/kg_shard.py) while the rest
+        of the model stays on the plain GSPMD path."""
+        if kg_drug_table is None:
+            kg_drug_table = self.encoder.kg_drug_table(kg, train=train)
+        z_head = self.encoder.encode(
+            head, kg_drug_table=kg_drug_table, train=train)
+        z_tail = self.encoder.encode(
+            tail, kg_drug_table=kg_drug_table, train=train)
         if self.decoder_normalize:
             z_head = _l2_normalize(z_head)
             z_tail = _l2_normalize(z_tail)
@@ -433,10 +441,11 @@ class MadrigalMultilabel(nn.Module):
         return self.decoder.all_pairs(z_head, z_tail, label_range)
 
     def score_triples(self, head, tail, kg, head_idx, tail_idx, labels, *,
-                      train=False):
+                      kg_drug_table=None, train=False):
         """Triple-gather scoring: embeds unique heads/tails once, scores only
         the (label, head, tail) entries needed (SURVEY.md section 7.3)."""
-        z_head, z_tail = self.embed_pair(head, tail, kg, train=train)
+        z_head, z_tail = self.embed_pair(
+            head, tail, kg, kg_drug_table=kg_drug_table, train=train)
         return self.decoder.triples(z_head[head_idx], z_tail[tail_idx], labels)
 
     def score_single_drug(self, batch, kg, *, train=False):

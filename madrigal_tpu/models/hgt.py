@@ -38,11 +38,15 @@ from ..ops.segment import segment_softmax, segment_sum
 
 
 def _edge_type_messages(q_dst, k_src, v_src, k_rel, v_rel, p_rel,
-                        src, dst, mask, n_dst: int):
+                        src, dst, mask, n_dst: int, axis_name=None):
     """One edge type's attention aggregate [n_dst, F] (pure arrays so it
     can be jax.checkpoint-ed: at full-KG training scale the per-edge
     [E, H, D] buffers of all 17 edge types otherwise stay live through
-    the backward)."""
+    the backward).
+
+    With `axis_name` (inside shard_map, src/dst/mask sharded over that
+    mesh axis, node tables replicated) the segment softmax and sum merge
+    across the fleet's edge shards -- graph-parallel message passing."""
     D = k_rel.shape[-1]
     k_s = jnp.einsum("nhd,hde->nhe", k_src, k_rel)
     v_s = jnp.einsum("nhd,hde->nhe", v_src, v_rel)
@@ -52,10 +56,12 @@ def _edge_type_messages(q_dst, k_src, v_src, k_rel, v_rel, p_rel,
         * p_rel[None, :]
         / jnp.sqrt(jnp.asarray(D, jnp.float32))
     )  # [E, H]
-    alpha = segment_softmax(logits, dst_safe, n_dst, mask=mask)
+    alpha = segment_softmax(logits, dst_safe, n_dst, mask=mask,
+                            axis_name=axis_name)
     msg = v_s[src] * alpha[..., None]  # [E, H, D]
     n, h, d = n_dst, msg.shape[1], msg.shape[2]
-    return segment_sum(msg, dst_safe, n_dst).reshape(n, h * d)
+    return segment_sum(msg, dst_safe, n_dst,
+                       axis_name=axis_name).reshape(n, h * d)
 
 
 class HGTConv(nn.Module):
@@ -64,6 +70,7 @@ class HGTConv(nn.Module):
     group: str = "sum"
     softmax_scope: str = "per_edge_type"
     remat_edge_types: bool = False
+    shard_axis: str | None = None
 
     @nn.compact
     def __call__(self, g: HeteroKGBatch, x_dict: Dict[str, jnp.ndarray]):
@@ -76,7 +83,7 @@ class HGTConv(nn.Module):
             import jax
 
             edge_fn = jax.checkpoint(_edge_type_messages,
-                                     static_argnums=(9,))
+                                     static_argnums=(9, 10))
 
         k_dict, q_dict, v_dict = {}, {}, {}
         for nt in g.metadata.node_types:
@@ -133,6 +140,7 @@ class HGTConv(nn.Module):
             out = edge_fn(
                 q_dict[dst_t], k_dict[src_t], v_dict[src_t],
                 k_rel, v_rel, p_rel, src, dst, mask, n_dst,
+                self.shard_axis,
             )
             if self.remat_edge_types:
                 carry = out[0, 0]
@@ -150,10 +158,12 @@ class HGTConv(nn.Module):
                 vals = jnp.concatenate([it[1] for it in items], axis=0)
                 dsts = jnp.concatenate([it[2] for it in items], axis=0)
                 masks = jnp.concatenate([it[3] for it in items], axis=0)
-                alpha = segment_softmax(logits, dsts, n_dst, mask=masks)
+                alpha = segment_softmax(logits, dsts, n_dst, mask=masks,
+                                        axis_name=self.shard_axis)
                 msg = vals * alpha[..., None]
                 agg[nt].append(
-                    segment_sum(msg, dsts, n_dst).reshape(n_dst, F)
+                    segment_sum(msg, dsts, n_dst,
+                                axis_name=self.shard_axis).reshape(n_dst, F)
                 )
 
         out_dict = {}
@@ -200,6 +210,7 @@ class HGTEncoder(nn.Module):
                                       "per_edge_type"),
                 remat_edge_types=getattr(self.cfg, "remat_edge_types",
                                          False),
+                shard_axis=getattr(self.cfg, "shard_axis", None),
                 name=f"conv_{i}",
             )(g, x)
             # reference relu placement (models.py:90-94): relu after conv i

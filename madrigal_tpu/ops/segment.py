@@ -5,6 +5,13 @@ These replace the reference's torch-scatter CUDA kernels
 XLA-native `jax.ops.segment_*` over padded index arrays. All shapes are
 static; padding entries carry a sentinel segment id == num_segments which
 XLA drops (indices >= num_segments are ignored by segment ops).
+
+Every reduction takes an optional `axis_name`: inside `shard_map` with the
+DATA (edge) axis sharded over a mesh axis and the segment table replicated,
+the local partial reduction is merged across devices with one XLA
+collective (`psum`/`pmax`) over ICI. This is what makes the full-KG HGT
+forward graph-parallel (each chip owns an edge shard; node tables are
+replicated).
 """
 from __future__ import annotations
 
@@ -12,10 +19,13 @@ import jax
 import jax.numpy as jnp
 
 
-def segment_sum(data, segment_ids, num_segments: int):
-    return jax.ops.segment_sum(
+def segment_sum(data, segment_ids, num_segments: int, axis_name=None):
+    out = jax.ops.segment_sum(
         data, segment_ids, num_segments=num_segments, indices_are_sorted=False
     )
+    if axis_name is not None:
+        out = jax.lax.psum(out, axis_name)
+    return out
 
 
 def segment_mean(data, segment_ids, num_segments: int, eps: float = 0.0):
@@ -26,19 +36,28 @@ def segment_mean(data, segment_ids, num_segments: int, eps: float = 0.0):
     return total / denom.reshape((-1,) + (1,) * (data.ndim - 1))
 
 
-def segment_max(data, segment_ids, num_segments: int, initial=-jnp.inf):
+def segment_max(data, segment_ids, num_segments: int, initial=-jnp.inf,
+                axis_name=None):
     out = jax.ops.segment_max(
         data, segment_ids, num_segments=num_segments, indices_are_sorted=False
     )
+    if axis_name is not None:
+        out = jax.lax.pmax(out, axis_name)
     # Segments with no members come back as -inf; leave caller to mask.
     return out
 
 
-def segment_softmax(logits, segment_ids, num_segments: int, mask=None):
+def segment_softmax(logits, segment_ids, num_segments: int, mask=None,
+                    axis_name=None):
     """Numerically-stable softmax within segments.
 
     Used by the HGT attention (replacing PyG's `softmax(alpha, index)`;
     reference semantics: torch_geometric.nn.conv.HGTConv message()).
+
+    With `axis_name`, segments span all devices' shards of the edge axis:
+    the per-segment max and the denominator are globally merged
+    (pmax + psum over the mesh axis); the returned per-edge weights stay
+    local to each device's edge shard.
 
     Args:
       logits: [E, ...] per-edge logits.
@@ -50,15 +69,21 @@ def segment_softmax(logits, segment_ids, num_segments: int, mask=None):
         logits = jnp.where(
             mask.reshape(mask.shape + (1,) * (logits.ndim - 1)), logits, -jnp.inf
         )
+    # The max shift cancels analytically, so it is computed on a
+    # stop_gradient-ed copy: exact same value, and the backward never sees
+    # the (non-differentiable) pmax collective.
     seg_max = jax.ops.segment_max(
-        logits, segment_ids, num_segments=num_segments
+        jax.lax.stop_gradient(logits), segment_ids,
+        num_segments=num_segments,
     )
+    if axis_name is not None:
+        seg_max = jax.lax.pmax(seg_max, axis_name)
     seg_max = jnp.where(jnp.isfinite(seg_max), seg_max, 0.0)
     shifted = logits - seg_max[segment_ids]
     exp = jnp.exp(shifted)
     if mask is not None:
         exp = jnp.where(mask.reshape(mask.shape + (1,) * (exp.ndim - 1)), exp, 0.0)
-    denom = segment_sum(exp, segment_ids, num_segments)
+    denom = segment_sum(exp, segment_ids, num_segments, axis_name=axis_name)
     denom = jnp.maximum(denom, 1e-16)
     return exp / denom[segment_ids]
 

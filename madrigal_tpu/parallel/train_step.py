@@ -31,12 +31,18 @@ def make_train_mesh(n_devices: Optional[int] = None,
     return Mesh(np.asarray(devices).reshape(dp, label_dim), ("dp", "label"))
 
 
-def shard_finetune_trainer(trainer, mesh: Mesh):
+def shard_finetune_trainer(trainer, mesh: Mesh, kg_shard_axis=None):
     """Re-place an existing FinetuneTrainer onto `mesh` (in place).
 
     Requirements: the padded triple count must divide mesh.shape['dp'] and
     the label count must divide mesh.shape['label'] (use the collator's
     pair_budget to round up).
+
+    kg_shard_axis: optional mesh axis name; when set, the full-KG HGT
+    forward inside every training step runs GRAPH-PARALLEL -- edge arrays
+    shard over that axis and segment reductions merge over ICI
+    (parallel/kg_shard.py) -- instead of being recomputed identically on
+    every chip. Exact numerics (f32 psum), exact gradients.
     """
     from ..train.finetune import TrainState
 
@@ -80,7 +86,22 @@ def shard_finetune_trainer(trainer, mesh: Mesh):
         pos_neg=jax.device_put(trainer.batch.pos_neg, dp),
         mask=jax.device_put(trainer.batch.mask, dp),
     )
-    trainer.kg = jax.device_put(trainer.kg, rep)
+    if kg_shard_axis is None:
+        trainer.kg = jax.device_put(trainer.kg, rep)
+        trainer._kg_table_fn = None
+    else:
+        from .kg_shard import (
+            device_put_kg_sharded,
+            make_sharded_kg_table_fn,
+            pad_kg_edges_to_multiple,
+        )
+
+        kg = pad_kg_edges_to_multiple(
+            trainer.kg, int(mesh.shape[kg_shard_axis]))
+        trainer.kg = device_put_kg_sharded(kg, mesh, kg_shard_axis)
+        trainer._kg_table_fn = make_sharded_kg_table_fn(
+            trainer.model, mesh, axis=kg_shard_axis
+        )
     trainer.w_all = jax.device_put(trainer.w_all, dp)
     trainer.w_directed = jax.device_put(trainer.w_directed, dp)
     trainer._step = jax.jit(trainer._make_step(), donate_argnums=(0,))

@@ -98,6 +98,11 @@ class FinetuneTrainer:
             self.w_all = jnp.asarray(base_mask)
             self.w_directed = jnp.asarray(directed)
 
+        # graph-parallel KG seam: when set (parallel/train_step.py
+        # shard_finetune_trainer(kg_shard_axis=...)), fn(params, kg) runs
+        # the HGT edge-sharded under shard_map and returns the replicated
+        # drug table; gradients flow through it into the HGT weights
+        self._kg_table_fn = None
         self._step = jax.jit(self._make_step(), donate_argnums=(0,))
 
     # ------------------------------------------------------------------
@@ -109,10 +114,13 @@ class FinetuneTrainer:
         # KG edges + ~1M triples) is gigabytes of baked-in literals
         head = dataclasses.replace(batch.head, masks=masks_head)
         tail = dataclasses.replace(batch.tail, masks=masks_tail)
+        table = (None if self._kg_table_fn is None
+                 else self._kg_table_fn(params, kg))
         out, updates = self.model.apply(
             {"params": params, "batch_stats": batch_stats},
             head, tail, kg,
             batch.head_idx, batch.tail_idx, batch.labels,
+            kg_drug_table=table,
             train=True,
             method=MadrigalMultilabel.score_triples,
             mutable=["batch_stats"],
