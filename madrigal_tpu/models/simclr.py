@@ -41,12 +41,17 @@ class SimCLRModel(nn.Module):
             )
 
     def __call__(self, batch, kg, mask1, mask2, too_hard_neg_mask=None, *,
-                 train: bool = False):
+                 kg_drug_table=None, train: bool = False):
         """Returns (aug1, aug2, (logits, labels, loss))
-        (reference simclr.py:110-140)."""
+        (reference simclr.py:110-140).
+
+        `kg_drug_table` short-circuits the KG forward with a precomputed
+        drug-node table (the graph-parallel training seam,
+        parallel/kg_shard.py)."""
         import dataclasses
 
-        table = self.base_encoder.kg_drug_table(kg, train=train)
+        table = (kg_drug_table if kg_drug_table is not None
+                 else self.base_encoder.kg_drug_table(kg, train=train))
         b1 = dataclasses.replace(batch, masks=mask1)
         b2 = dataclasses.replace(batch, masks=mask2)
         z1 = self.base_encoder.encode(

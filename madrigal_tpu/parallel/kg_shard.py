@@ -110,13 +110,17 @@ def sharded_kg_apply(
     return wrapped
 
 
-def make_sharded_kg_table_fn(model, mesh: Mesh, axis: str = "dp"):
-    """Graph-parallel `kg_drug_table` for a MadrigalMultilabel `model`.
+def make_sharded_kg_table_fn(model, mesh: Mesh, axis: str = "dp",
+                             encoder_attr: str = "encoder"):
+    """Graph-parallel `kg_drug_table` for a model wrapping MadrigalEncoder.
 
     Returns fn(params, kg) -> [N_kg_drugs, D] replicated drug-node table,
     where the HGT message passing inside ran edge-sharded over `axis`.
     Builds a config twin of `model` with hgt.shard_axis set -- parameter
     structure is identical, so the caller's params apply unchanged.
+
+    encoder_attr: the model attribute holding the MadrigalEncoder
+    ('encoder' for MadrigalMultilabel, 'base_encoder' for SimCLRModel).
     """
     enc_cfg = dataclasses.replace(
         model.enc_cfg,
@@ -127,7 +131,8 @@ def make_sharded_kg_table_fn(model, mesh: Mesh, axis: str = "dp"):
     def apply_fn(params, kg):
         return model_sh.apply(
             {"params": params}, kg,
-            method=lambda m, k: m.encoder.kg_drug_table(k, train=False),
+            method=lambda m, k: getattr(m, encoder_attr).kg_drug_table(
+                k, train=False),
         )
 
     return sharded_kg_apply(mesh, apply_fn, axis=axis)

@@ -109,12 +109,16 @@ def shard_finetune_trainer(trainer, mesh: Mesh, kg_shard_axis=None):
     return trainer
 
 
-def shard_cl_pretrainer(trainer, mesh: Mesh):
-    """Data-parallel CL pretraining: replicate params/KG, shard the drug
+def shard_cl_pretrainer(trainer, mesh: Mesh, kg_shard_axis=None):
+    """Data-parallel CL pretraining: replicate params, shard the drug
     batch over 'dp'. The InfoNCE similarity matrix is global over the
     batch, so XLA inserts the all-gather of projected views automatically.
 
     Requires pretrain_batch_size divisible by mesh.shape['dp'].
+
+    kg_shard_axis: optional mesh axis; when set, the per-step full-KG HGT
+    pass runs graph-parallel (edges sharded over that axis,
+    parallel/kg_shard.py) instead of replicated per chip.
     """
     rep = NamedSharding(mesh, P())
 
@@ -125,17 +129,33 @@ def shard_cl_pretrainer(trainer, mesh: Mesh):
         )
 
     trainer.state = jax.device_put(trainer.state, rep)
-    trainer.kg = jax.device_put(trainer.kg, rep)
+    if kg_shard_axis is None:
+        trainer.kg = jax.device_put(trainer.kg, rep)
+        trainer._kg_table_fn = None
+    else:
+        from .kg_shard import (
+            device_put_kg_sharded,
+            make_sharded_kg_table_fn,
+            pad_kg_edges_to_multiple,
+        )
+
+        kg = pad_kg_edges_to_multiple(
+            trainer.kg, int(mesh.shape[kg_shard_axis]))
+        trainer.kg = device_put_kg_sharded(kg, mesh, kg_shard_axis)
+        trainer._kg_table_fn = make_sharded_kg_table_fn(
+            trainer.model, mesh, axis=kg_shard_axis,
+            encoder_attr="base_encoder",
+        )
 
     dp = NamedSharding(mesh, P("dp"))
-    orig_step = trainer._step
+    orig_step = jax.jit(trainer._make_step(), donate_argnums=(0,))
 
-    def sharded_step(state, batch, m1, m2, rng):
+    def sharded_step(state, batch, kg, m1, m2, rng):
         batch = jax.device_put(batch, dp)
         m1 = jax.device_put(m1, dp)
         m2 = jax.device_put(m2, dp)
         with mesh:
-            return orig_step(state, batch, m1, m2, rng)
+            return orig_step(state, batch, kg, m1, m2, rng)
 
     trainer._step = sharded_step
     trainer.mesh = mesh

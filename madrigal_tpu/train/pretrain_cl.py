@@ -118,6 +118,9 @@ class CLPretrainer:
             opt_state=self.tx.init(variables["params"]),
             step=jnp.zeros([], jnp.int32),
         )
+        # graph-parallel KG seam (parallel/train_step.py
+        # shard_cl_pretrainer(kg_shard_axis=...)): fn(params, kg) -> table
+        self._kg_table_fn = None
         self._step = jax.jit(self._make_step(), donate_argnums=(0,))
 
     def _sample_masks(self, drugs):
@@ -127,11 +130,15 @@ class CLPretrainer:
         )
 
     def _make_step(self):
-        def step(state: CLTrainState, batch, m1, m2, rng):
+        def step(state: CLTrainState, batch, kg, m1, m2, rng):
             def loss_fn(params):
+                # kg is a step ARGUMENT (closure constants are serialized
+                # into the compile payload -- see finetune._forward_loss)
+                table = (None if self._kg_table_fn is None
+                         else self._kg_table_fn(params, kg))
                 (_, _, (_, _, loss)), updates = self.model.apply(
                     {"params": params, "batch_stats": state.batch_stats},
-                    batch, self.kg, m1, m2, train=True,
+                    batch, kg, m1, m2, kg_drug_table=table, train=True,
                     mutable=["batch_stats"], rngs={"dropout": rng},
                 )
                 return loss, updates["batch_stats"]
@@ -160,7 +167,8 @@ class CLPretrainer:
         m1, m2 = self._sample_masks(ids)
         self.rng, key = jax.random.split(self.rng)
         self.state, loss = self._step(
-            self.state, batch, jnp.asarray(m1), jnp.asarray(m2), key
+            self.state, batch, self.kg, jnp.asarray(m1), jnp.asarray(m2),
+            key,
         )
         return float(loss)
 

@@ -143,7 +143,8 @@ def test_sharded_trainer_validates_divisibility():
 
 
 @pytest.mark.slow
-def test_sharded_cl_pretrain_matches_single_device():
+@pytest.mark.parametrize("kg_shard_axis", [None, "dp"])
+def test_sharded_cl_pretrain_matches_single_device(kg_shard_axis):
     from madrigal_tpu.config import PretrainConfig
     from madrigal_tpu.parallel.train_step import shard_cl_pretrainer
     from madrigal_tpu.train.pretrain_cl import CLPretrainer
@@ -164,7 +165,7 @@ def test_sharded_cl_pretrain_matches_single_device():
 
     t2 = CLPretrainer(cfg, coll, kg)
     mesh = Mesh(np.asarray(jax.devices()[:8]).reshape(8, 1)[:, 0], ("dp",))
-    shard_cl_pretrainer(t2, mesh)
+    shard_cl_pretrainer(t2, mesh, kg_shard_axis=kg_shard_axis)
     l2 = t2.train_step()
     # same rng stream + same data order -> identical loss
     assert abs(l1 - l2) < 1e-4, (l1, l2)
