@@ -52,6 +52,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="comma-separated eval-type override; default sweeps "
                         "the full per-split SPLIT_EVAL_TYPES lists "
                         "(reference evaluate.py:39-247)")
+    p.add_argument("--frozen", action="store_true",
+                   help="freeze the encoder; train the decoder only "
+                        "(reference --frozen, utils.py:329-331)")
     return p
 
 
@@ -134,6 +137,7 @@ def main(argv=None):
         cfg,
         model=dataclasses.replace(cfg.model, prediction_dim=ds.num_labels),
         train_with_str_str=args.train_with_str_str,
+        frozen=args.frozen or cfg.frozen,
     )
     config_lib.validate(cfg)
     logger.info(f"config:\n{config_lib.dumps(cfg)}")

@@ -68,6 +68,7 @@ class FinetuneTrainer:
         self.tx = create_optimizer(
             params, cfg.optim, warmup_epochs=cfg.warmup_epochs,
             total_epochs=cfg.num_epochs,
+            frozen_encoder=getattr(cfg, "frozen", False),
         )
         self.state = TrainState(
             params=params,

@@ -185,10 +185,15 @@ def create_optimizer(
     cfg: OptimizerConfig,
     warmup_epochs: int = 0,
     total_epochs: int = 1,
+    frozen_encoder: bool = False,
 ) -> optax.GradientTransformation:
     """Multi-LR grouped optimizer (utils.py:463-613). One optimizer step ==
     one epoch in full-batch training, so schedules step per epoch exactly
-    like the reference's scheduler.step()."""
+    like the reference's scheduler.step().
+
+    frozen_encoder: train the decoder only -- every encoder group's update
+    is zeroed (the reference's --frozen / requires_grad=False over encoder
+    params, utils.py:329-331)."""
     group_lrs = {
         "str": cfg.structure_encoder_lr,
         "kg": cfg.kg_encoder_lr,
@@ -204,6 +209,10 @@ def create_optimizer(
 
     transforms: Dict[str, optax.GradientTransformation] = {}
     for g, lr in group_lrs.items():
+        if frozen_encoder and g != "decoder":
+            transforms[g] = optax.set_to_zero()
+            transforms[g + "_nd"] = optax.set_to_zero()
+            continue
         transforms[g] = _adamw(sched_for(lr), cfg, cfg.wd)
         if g != "decoder":
             transforms[g + "_nd"] = _adamw(sched_for(lr), cfg, 0.0)

@@ -290,3 +290,30 @@ def test_remat_forwards_matches_unremat(data):
     for a, b in zip(jax.tree_util.tree_leaves(t1.state.params),
                     jax.tree_util.tree_leaves(t2.state.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+
+def test_frozen_encoder_trains_decoder_only(data):
+    """cfg.frozen freezes every encoder group; only the decoder updates
+    (reference --frozen, utils.py:329-331)."""
+    import dataclasses
+
+    ds, batch, kg = data
+    cfg = dataclasses.replace(tiny_cfg("full_full"), frozen=True)
+    t = FinetuneTrainer(cfg, batch, kg)
+    before = jax.tree_util.tree_map(np.asarray, t.state.params)
+    for _ in range(3):  # epoch 0 is inside warmup (lr == 0)
+        t.train_epoch()
+    after = t.state.params
+
+    flat_b = jax.tree_util.tree_flatten_with_path(before)[0]
+    flat_a = jax.tree_util.tree_leaves(after)
+    decoder_changed = encoder_changed = False
+    for (path, b), a in zip(flat_b, flat_a):
+        keys = jax.tree_util.keystr(path)
+        changed = bool(np.any(np.asarray(a) != b))
+        if "decoder" in keys:
+            decoder_changed |= changed
+        else:
+            encoder_changed |= changed
+    assert decoder_changed
+    assert not encoder_changed
