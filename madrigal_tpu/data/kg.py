@@ -25,10 +25,16 @@ def edge_key(et: EdgeType) -> str:
 
 @dataclasses.dataclass(frozen=True)
 class KGMetadata:
-    """Static schema: node types and canonical edge types (PyG metadata())."""
+    """Static schema: node types and canonical edge types (PyG metadata()).
+
+    edges_sorted: every edge type's arrays are ordered by destination node
+    (padding last), letting the segment reductions pass
+    indices_are_sorted=True to XLA (faster scatter lowering on TPU).
+    """
 
     node_types: Tuple[str, ...]
     edge_types: Tuple[EdgeType, ...]
+    edges_sorted: bool = False
 
     def __post_init__(self):
         object.__setattr__(self, "node_types", tuple(self.node_types))
@@ -67,16 +73,25 @@ def build_kg_batch(
     drug_ids: Sequence[int],
     pad_multiple: int = 512,
     edge_budgets: Dict[str, int] | None = None,
+    sort_edges: bool = False,
 ) -> HeteroKGBatch:
-    """Assemble a padded HeteroKGBatch from host arrays."""
+    """Assemble a padded HeteroKGBatch from host arrays.
+
+    sort_edges: order each edge type by destination node (free host-side
+    preprocessing) so the device segment reductions run with
+    indices_are_sorted=True."""
     metadata = KGMetadata(
         node_types=tuple(sorted(node_feats)),
         edge_types=tuple(sorted(edge_indices)),
+        edges_sorted=sort_edges,
     )
     src_d, dst_d, mask_d = {}, {}, {}
     for et, ei in edge_indices.items():
         k = edge_key(et)
         ei = np.asarray(ei)
+        if sort_edges and ei.shape[1]:
+            order = np.argsort(ei[1], kind="stable")
+            ei = ei[:, order]
         e = ei.shape[1]
         budget = (edge_budgets or {}).get(k) or max(
             ((e + pad_multiple - 1) // pad_multiple) * pad_multiple, pad_multiple

@@ -38,7 +38,8 @@ from ..ops.segment import segment_softmax, segment_sum
 
 
 def _edge_type_messages(q_dst, k_src, v_src, k_rel, v_rel, p_rel,
-                        src, dst, mask, n_dst: int, axis_name=None):
+                        src, dst, mask, n_dst: int, axis_name=None,
+                        indices_are_sorted: bool = False):
     """One edge type's attention aggregate [n_dst, F] (pure arrays so it
     can be jax.checkpoint-ed: at full-KG training scale the per-edge
     [E, H, D] buffers of all 17 edge types otherwise stay live through
@@ -57,11 +58,13 @@ def _edge_type_messages(q_dst, k_src, v_src, k_rel, v_rel, p_rel,
         / jnp.sqrt(jnp.asarray(D, jnp.float32))
     )  # [E, H]
     alpha = segment_softmax(logits, dst_safe, n_dst, mask=mask,
-                            axis_name=axis_name)
+                            axis_name=axis_name,
+                            indices_are_sorted=indices_are_sorted)
     msg = v_s[src] * alpha[..., None]  # [E, H, D]
     n, h, d = n_dst, msg.shape[1], msg.shape[2]
-    return segment_sum(msg, dst_safe, n_dst,
-                       axis_name=axis_name).reshape(n, h * d)
+    return segment_sum(msg, dst_safe, n_dst, axis_name=axis_name,
+                       indices_are_sorted=indices_are_sorted
+                       ).reshape(n, h * d)
 
 
 class HGTConv(nn.Module):
@@ -83,7 +86,7 @@ class HGTConv(nn.Module):
             import jax
 
             edge_fn = jax.checkpoint(_edge_type_messages,
-                                     static_argnums=(9, 10))
+                                     static_argnums=(9, 10, 11))
 
         k_dict, q_dict, v_dict = {}, {}, {}
         for nt in g.metadata.node_types:
@@ -140,7 +143,7 @@ class HGTConv(nn.Module):
             out = edge_fn(
                 q_dict[dst_t], k_dict[src_t], v_dict[src_t],
                 k_rel, v_rel, p_rel, src, dst, mask, n_dst,
-                self.shard_axis,
+                self.shard_axis, g.metadata.edges_sorted,
             )
             if self.remat_edge_types:
                 carry = out[0, 0]

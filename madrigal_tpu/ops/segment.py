@@ -19,9 +19,11 @@ import jax
 import jax.numpy as jnp
 
 
-def segment_sum(data, segment_ids, num_segments: int, axis_name=None):
+def segment_sum(data, segment_ids, num_segments: int, axis_name=None,
+                indices_are_sorted: bool = False):
     out = jax.ops.segment_sum(
-        data, segment_ids, num_segments=num_segments, indices_are_sorted=False
+        data, segment_ids, num_segments=num_segments,
+        indices_are_sorted=indices_are_sorted,
     )
     if axis_name is not None:
         out = jax.lax.psum(out, axis_name)
@@ -37,9 +39,10 @@ def segment_mean(data, segment_ids, num_segments: int, eps: float = 0.0):
 
 
 def segment_max(data, segment_ids, num_segments: int, initial=-jnp.inf,
-                axis_name=None):
+                axis_name=None, indices_are_sorted: bool = False):
     out = jax.ops.segment_max(
-        data, segment_ids, num_segments=num_segments, indices_are_sorted=False
+        data, segment_ids, num_segments=num_segments,
+        indices_are_sorted=indices_are_sorted,
     )
     if axis_name is not None:
         out = jax.lax.pmax(out, axis_name)
@@ -48,7 +51,7 @@ def segment_max(data, segment_ids, num_segments: int, initial=-jnp.inf,
 
 
 def segment_softmax(logits, segment_ids, num_segments: int, mask=None,
-                    axis_name=None):
+                    axis_name=None, indices_are_sorted: bool = False):
     """Numerically-stable softmax within segments.
 
     Used by the HGT attention (replacing PyG's `softmax(alpha, index)`;
@@ -74,7 +77,7 @@ def segment_softmax(logits, segment_ids, num_segments: int, mask=None,
     # the (non-differentiable) pmax collective.
     seg_max = jax.ops.segment_max(
         jax.lax.stop_gradient(logits), segment_ids,
-        num_segments=num_segments,
+        num_segments=num_segments, indices_are_sorted=indices_are_sorted,
     )
     if axis_name is not None:
         seg_max = jax.lax.pmax(seg_max, axis_name)
@@ -83,7 +86,8 @@ def segment_softmax(logits, segment_ids, num_segments: int, mask=None,
     exp = jnp.exp(shifted)
     if mask is not None:
         exp = jnp.where(mask.reshape(mask.shape + (1,) * (exp.ndim - 1)), exp, 0.0)
-    denom = segment_sum(exp, segment_ids, num_segments, axis_name=axis_name)
+    denom = segment_sum(exp, segment_ids, num_segments, axis_name=axis_name,
+                        indices_are_sorted=indices_are_sorted)
     denom = jnp.maximum(denom, 1e-16)
     return exp / denom[segment_ids]
 

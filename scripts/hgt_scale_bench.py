@@ -75,29 +75,34 @@ def main():
     total_n = sum(v.shape[0] for v in node_feats.values())
     print(f"KG: {total_n} nodes, {total_e} edges, {len(edges)} edge types")
 
-    kg = build_kg_batch(node_feats, edges,
-                        drug_ids=np.arange(node_feats["drug"].shape[0]))
+    drug_ids = np.arange(node_feats["drug"].shape[0])
+    variants = [
+        ("unsorted", build_kg_batch(node_feats, edges, drug_ids=drug_ids)),
+        ("dst-sorted", build_kg_batch(node_feats, edges, drug_ids=drug_ids,
+                                      sort_edges=True)),
+    ]
 
     for scope in ("per_edge_type", "global"):
-        cfg = HGTConfig(hidden_dim=128, num_layers=2, att_heads=4,
-                        softmax_scope=scope)
-        model = HGTEncoder(cfg=cfg, embed_dim=128, drug_only_head=True)
-        t0 = time.perf_counter()
-        variables = jax.jit(
-            lambda: model.init(jax.random.PRNGKey(0), kg, train=False)
-        )()
-        fwd = jax.jit(lambda v, g: model.apply(v, g, train=False)["drug"])
-        out = fwd(variables, kg)
-        float(jnp.max(out[0, :8]))  # compile + completion read
-        compile_s = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        reps = 3
-        for _ in range(reps):
+        for vname, kg in variants:
+            cfg = HGTConfig(hidden_dim=128, num_layers=2, att_heads=4,
+                            softmax_scope=scope)
+            model = HGTEncoder(cfg=cfg, embed_dim=128, drug_only_head=True)
+            t0 = time.perf_counter()
+            variables = jax.jit(
+                lambda: model.init(jax.random.PRNGKey(0), kg, train=False)
+            )()
+            fwd = jax.jit(lambda v, g: model.apply(v, g, train=False)["drug"])
             out = fwd(variables, kg)
-        float(jnp.max(out[0, :8]))
-        dt = (time.perf_counter() - t0) / reps
-        print(f"scope={scope}: {dt * 1e3:.0f} ms/forward "
-              f"(first call incl. compile {compile_s:.0f} s)")
+            float(jnp.max(out[0, :8]))  # compile + completion read
+            compile_s = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            reps = 3
+            for _ in range(reps):
+                out = fwd(variables, kg)
+            float(jnp.max(out[0, :8]))
+            dt = (time.perf_counter() - t0) / reps
+            print(f"scope={scope} edges={vname}: {dt * 1e3:.0f} ms/forward "
+                  f"(first call incl. compile {compile_s:.0f} s)")
 
 
 if __name__ == "__main__":

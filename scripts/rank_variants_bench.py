@@ -70,13 +70,59 @@ def variant_c(scores):
     return out + out.T
 
 
+def _f32_to_sortable_u32(x):
+    """Monotone bijection f32 -> u32 (IEEE total order for finite + inf):
+    flip all bits of negatives, flip the sign bit of non-negatives."""
+    u = lax.bitcast_convert_type(x, jnp.uint32)
+    neg = u >> 31 == 1
+    return jnp.where(neg, ~u, u | jnp.uint32(0x80000000))
+
+
+@jax.jit
+def variant_d_u32(scores):
+    # u32-key sorts: integer compare, same ranks as f32 for distinct scores
+    n = scores.shape[0]
+    m = n * (n - 1) // 2
+    tril, vals = lower_tri_vals(scores)
+    keys = _f32_to_sortable_u32(vals)
+    iota = lax.iota(jnp.int32, vals.shape[0])
+    _, order = lax.sort((keys, iota), is_stable=False, num_keys=1)
+    _, inv = lax.sort((order, iota), is_stable=False, num_keys=1)
+    ranks = inv.astype(jnp.float32) + 1.0
+    out = jnp.where(tril, ranks.reshape(n, n) / m, 0.0)
+    return out + out.T
+
+
+def make_batched(k):
+    @jax.jit
+    def variant_batched(scores_k):  # [K, N, N]
+        n = scores_k.shape[1]
+        m = n * (n - 1) // 2
+        rows = lax.broadcasted_iota(jnp.int32, (n, n), 0)
+        cols = lax.broadcasted_iota(jnp.int32, (n, n), 1)
+        tril = rows > cols
+        vals = jnp.where(tril[None], scores_k, jnp.inf).reshape(k, -1)
+        iota = jnp.broadcast_to(
+            lax.iota(jnp.int32, vals.shape[1])[None], vals.shape
+        )
+        _, order = lax.sort((vals, iota), dimension=1, is_stable=False,
+                            num_keys=1)
+        _, inv = lax.sort((order, iota), dimension=1, is_stable=False,
+                          num_keys=1)
+        ranks = inv.astype(jnp.float32) + 1.0
+        out = jnp.where(tril[None], ranks.reshape(k, n, n) / m, 0.0)
+        return out + out.transpose(0, 2, 1)
+
+    return variant_batched
+
+
 def timeit(fn, x):
     out = fn(x)
-    float(jnp.max(out[0, :8]))  # compile + completion read
+    float(jnp.max(out.reshape(-1)[:8]))  # compile + completion read
     t0 = time.perf_counter()
     for _ in range(REPS):
         out = fn(x)
-    float(jnp.max(out[0, :8]))
+    float(jnp.max(out.reshape(-1)[:8]))
     return (time.perf_counter() - t0) / REPS
 
 
@@ -87,16 +133,29 @@ def main():
     # correctness cross-check on a small case
     xs = jnp.asarray(rng.randn(256, 256).astype(np.float32))
     a = np.asarray(variant_a(xs))
-    for name, fn in (("b", variant_b), ("c", variant_c)):
+    for name, fn in (("b", variant_b), ("c", variant_c),
+                     ("d_u32", variant_d_u32)):
         np.testing.assert_allclose(np.asarray(fn(xs)), a, atol=1e-6,
                                    err_msg=name)
+    bfn = make_batched(2)
+    np.testing.assert_allclose(
+        np.asarray(bfn(jnp.stack([xs, xs * 2.0]))),
+        np.stack([a, np.asarray(variant_a(xs * 2.0))]), atol=1e-6,
+    )
     print("variants agree on 256x256")
 
     for name, fn in (("a_stable_argsort", variant_a),
                      ("b_unstable_laxsort", variant_b),
-                     ("c_mixed", variant_c)):
+                     ("c_mixed", variant_c),
+                     ("d_u32_keys", variant_d_u32)):
         dt = timeit(fn, x)
         print(f"{name}: {dt * 1e3:.1f} ms/outcome")
+
+    for k in (2, 4):
+        fn = make_batched(k)
+        xk = jnp.asarray(rng.randn(k, N, N).astype(np.float32))
+        dt = timeit(fn, xk)
+        print(f"e_batched_k{k}: {dt * 1e3 / k:.1f} ms/outcome")
 
 
 if __name__ == "__main__":

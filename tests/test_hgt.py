@@ -301,3 +301,26 @@ def test_hgt_remat_edge_types_matches(rng):
     for a, b in zip(jax.tree_util.tree_leaves(g1),
                     jax.tree_util.tree_leaves(g2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_hgt_sorted_edges_matches(rng):
+    """build_kg_batch(sort_edges=True) (dst-ordered arenas +
+    indices_are_sorted segment lowering) changes layout, not numerics."""
+    import dataclasses
+
+    import jax
+
+    node_feats, edges = small_kg(rng)
+    kg_u = build_kg_batch(node_feats, edges, drug_ids=np.arange(10))
+    kg_s = build_kg_batch(node_feats, edges, drug_ids=np.arange(10),
+                          sort_edges=True)
+    assert kg_s.metadata.edges_sorted and not kg_u.metadata.edges_sorted
+    for scope in ("per_edge_type", "global"):
+        cfg = HGTConfig(hidden_dim=16, num_layers=2, att_heads=4,
+                        softmax_scope=scope)
+        m = HGTEncoder(cfg=cfg, embed_dim=8, drug_only_head=True)
+        v = m.init(jax.random.PRNGKey(0), kg_u, train=False)
+        o1 = m.apply(v, kg_u, train=False)["drug"]
+        o2 = m.apply(v, kg_s, train=False)["drug"]
+        np.testing.assert_allclose(np.asarray(o1), np.asarray(o2),
+                                   atol=1e-5, rtol=1e-5)
