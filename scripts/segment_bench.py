@@ -1,0 +1,101 @@
+"""Micro-benchmark: segment-sum strategies for HGT-scale message
+aggregation on the real chip.
+
+The full-KG HGT forward (~750 ms, hgt_scale_bench.py) is dominated by
+per-edge gathers + the segment reductions. Variants for
+segment_sum([E, 128] -> [N, 128], E=8.3M, N=122.5k):
+
+  a. jax.ops.segment_sum, unsorted ids (the production path)
+  b. same with indices_are_sorted=True over dst-sorted ids
+  c. dst-sorted + cumsum + boundary gather (scatter-free: the segment sum
+     becomes diff-of-prefix-sums at host-precomputed segment boundaries)
+  d. pure gather of [E, 128] rows (lower bound: the read traffic alone)
+
+Usage: python scripts/segment_bench.py
+"""
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+
+import jax.numpy as jnp
+
+E = 8_300_000
+N = 122_500
+F = 128
+REPS = 3
+
+
+def timeit(fn, *args):
+    out = fn(*args)
+    float(jnp.max(out.reshape(-1)[:8]))
+    t0 = time.perf_counter()
+    for _ in range(REPS):
+        out = fn(*args)
+    float(jnp.max(out.reshape(-1)[:8]))
+    return (time.perf_counter() - t0) / REPS
+
+
+@jax.jit
+def seg_unsorted(data, ids):
+    return jax.ops.segment_sum(data, ids, num_segments=N)
+
+
+@jax.jit
+def seg_sorted(data, ids):
+    return jax.ops.segment_sum(data, ids, num_segments=N,
+                               indices_are_sorted=True)
+
+
+@jax.jit
+def seg_cumsum(data, ends):
+    # ends[t] = index AFTER segment t's last element (host-precomputed)
+    csum = jnp.cumsum(data, axis=0)
+    padded = jnp.concatenate([jnp.zeros((1, data.shape[1]), data.dtype),
+                              csum], axis=0)
+    return padded[ends] - padded[jnp.concatenate(
+        [jnp.zeros((1,), ends.dtype), ends[:-1]])]
+
+
+@jax.jit
+def gather_only(table, ids):
+    return table[ids].sum(axis=0)
+
+
+def main():
+    rng = np.random.RandomState(0)
+    data = jnp.asarray(rng.randn(E, F).astype(np.float32))
+    ids_u = rng.randint(0, N, E).astype(np.int32)
+    ids_s = np.sort(ids_u)
+    ends = np.searchsorted(ids_s, np.arange(N) + 1).astype(np.int32)
+    ids_u = jnp.asarray(ids_u)
+    ids_sj = jnp.asarray(ids_s)
+    ends_j = jnp.asarray(ends)
+
+    ref = np.asarray(seg_unsorted(data, ids_sj))
+    got = np.asarray(seg_cumsum(data, ends_j))
+    err = np.max(np.abs(ref - got)) / max(np.max(np.abs(ref)), 1e-9)
+    print(f"cumsum vs scatter rel err: {err:.2e}")
+
+    table = jnp.asarray(rng.randn(N, F).astype(np.float32))
+    for name, fn, args in (
+        ("a_scatter_unsorted", seg_unsorted, (data, ids_u)),
+        ("b_scatter_sorted", seg_sorted, (data, ids_sj)),
+        ("c_cumsum_boundaries", seg_cumsum, (data, ends_j)),
+        ("d_gather_lower_bound", gather_only, (table, ids_u)),
+    ):
+        dt = timeit(fn, *args)
+        print(f"{name}: {dt * 1e3:.1f} ms  "
+              f"({E * F * 4 / dt / 1e9:.0f} GB/s effective)")
+
+
+if __name__ == "__main__":
+    main()
