@@ -113,6 +113,12 @@ class HGTConfig:
     # over that axis (node tables + weights replicated) and merges segment
     # reductions with psum/pmax collectives. See parallel/kg_shard.py.
     shard_axis: Optional[str] = None
+    # throughput mode for the edge-level message pipeline: 'bfloat16'
+    # halves the HBM traffic of the [E, H, D] gather/scatter stream (the
+    # full-KG forward is bandwidth-bound). Params, attention-softmax
+    # statistics, and segment-sum accumulation stay float32. Default
+    # float32 = exact reference-parity numerics.
+    compute_dtype: str = "float32"
 
 
 @dataclass(frozen=True)
@@ -193,6 +199,10 @@ class FusionConfig:
     # full-batch training at reference scale: the flagship 2048-latent
     # fusion's saved activations over 6843x21 tokens dominate HBM)
     remat: bool = False
+    # 'bfloat16' runs attention/FFN matmul activations in bf16 (params,
+    # LayerNorms, softmax, residual stream stay f32). Throughput opt-in;
+    # default float32 = exact reference-parity numerics.
+    compute_dtype: str = "float32"
 
     @property
     def latent_dim(self) -> int:

@@ -34,6 +34,9 @@ class MultiheadAttention(nn.Module):
     embed_dim: int
     num_heads: int
     dropout: float = 0.0
+    # activation compute dtype (params stay f32; softmax + returned
+    # attention weights stay f32). 'bfloat16' = throughput mode.
+    dtype: str = "float32"
 
     @nn.compact
     def __call__(
@@ -52,17 +55,24 @@ class MultiheadAttention(nn.Module):
         H = self.num_heads
         D = E // H
         assert D * H == E
+        # "float32" = no casting anywhere (inputs may be f32 or, in x64
+        # parity tests, f64); a reduced dtype inserts explicit casts with
+        # f32 softmax statistics
+        cdt = None if self.dtype == "float32" else jnp.dtype(self.dtype)
+        cast = (lambda x: x) if cdt is None else (lambda x: x.astype(cdt))
 
-        q = nn.Dense(E, name="q_proj")(query)
-        k = nn.Dense(E, name="k_proj")(key)
-        v = nn.Dense(E, name="v_proj")(value)
+        q = nn.Dense(E, name="q_proj", dtype=cdt)(cast(query))
+        k = nn.Dense(E, name="k_proj", dtype=cdt)(cast(key))
+        v = nn.Dense(E, name="v_proj", dtype=cdt)(cast(value))
 
         q = q.reshape(B, Tq, H, D).transpose(0, 2, 1, 3)
         k = k.reshape(B, Tk, H, D).transpose(0, 2, 1, 3)
         v = v.reshape(B, Tk, H, D).transpose(0, 2, 1, 3)
 
         scale = 1.0 / jnp.sqrt(jnp.asarray(D, dtype=q.dtype))
-        logits = jnp.einsum("bhqd,bhkd->bhqk", q * scale, k)
+        logits = jnp.einsum(
+            "bhqd,bhkd->bhqk", q * scale, k,
+            preferred_element_type=None if cdt is None else jnp.float32)
 
         mask = jnp.zeros((B, 1, Tq, Tk), dtype=bool)
         if key_padding_mask is not None:
@@ -71,13 +81,13 @@ class MultiheadAttention(nn.Module):
             mask = mask | attn_mask[None, None, :, :]
         logits = jnp.where(mask, NEG_INF, logits)
 
-        weights = nn.softmax(logits, axis=-1)
+        weights = nn.softmax(logits, axis=-1)  # f32 in reduced-dtype mode
         if self.dropout > 0:
             weights = nn.Dropout(rate=self.dropout, deterministic=not train,
                                  name="attn_drop")(weights)
-        out = jnp.einsum("bhqk,bhkd->bhqd", weights, v)
+        out = jnp.einsum("bhqk,bhkd->bhqd", cast(weights), v)
         out = out.transpose(0, 2, 1, 3).reshape(B, Tq, E)
-        out = nn.Dense(E, name="out_proj")(out)
+        out = nn.Dense(E, name="out_proj", dtype=cdt)(out)
         if return_weights:
             return out, weights  # [B, H, Tq, Tk]
         return out
@@ -92,16 +102,23 @@ class TransformerEncoderLayer(nn.Module):
     dropout: float = 0.1
     actn: str = "relu"
     norm_first: bool = False
+    # activation compute dtype for attention + FFN matmuls; LayerNorms and
+    # residual stream stay f32 (standard mixed-precision discipline)
+    dtype: str = "float32"
 
     @nn.compact
     def __call__(self, x, key_padding_mask=None, attn_mask=None,
                  train: bool = False, return_weights: bool = False):
         # train/return_weights are positional-or-keyword so nn.remat can
         # mark them static (keyword-only args cannot be static_argnums)
+        cdt = None if self.dtype == "float32" else jnp.dtype(self.dtype)
+        cast = (lambda x: x) if cdt is None else (lambda x: x.astype(cdt))
+        up = (lambda x: x) if cdt is None else (
+            lambda x: x.astype(jnp.float32))
         act = activation(self.actn)
         attn = MultiheadAttention(
             embed_dim=self.d_model, num_heads=self.nhead,
-            dropout=self.dropout, name="self_attn",
+            dropout=self.dropout, dtype=self.dtype, name="self_attn",
         )
         norm1 = nn.LayerNorm(epsilon=1e-5, name="norm1")
         norm2 = nn.LayerNorm(epsilon=1e-5, name="norm2")
@@ -111,8 +128,8 @@ class TransformerEncoderLayer(nn.Module):
                            name="dropout2")
         drop_ffn = nn.Dropout(rate=self.dropout, deterministic=not train,
                               name="dropout_ffn")
-        lin1 = nn.Dense(self.dim_feedforward, name="linear1")
-        lin2 = nn.Dense(self.d_model, name="linear2")
+        lin1 = nn.Dense(self.dim_feedforward, name="linear1", dtype=cdt)
+        lin2 = nn.Dense(self.d_model, name="linear2", dtype=cdt)
 
         weights = None
 
@@ -123,10 +140,10 @@ class TransformerEncoderLayer(nn.Module):
                        return_weights=return_weights)
             if return_weights:
                 out, weights = out
-            return drop1(out)
+            return up(drop1(out))
 
         def ff(h):
-            return drop2(lin2(drop_ffn(act(lin1(h)))))
+            return up(drop2(lin2(drop_ffn(act(lin1(cast(h)))))))
 
         if self.norm_first:
             x = x + sa(norm1(x))
@@ -154,6 +171,7 @@ class TransformerEncoder(nn.Module):
     remat: bool = False  # recompute each layer in the backward (memory
     # knob for full-batch training at reference scale; attention-weight
     # capture layers are never rematted)
+    dtype: str = "float32"  # activation compute dtype (see layer docs)
 
     @nn.compact
     def __call__(self, x, key_padding_mask=None, attn_mask=None, *,
@@ -169,7 +187,7 @@ class TransformerEncoder(nn.Module):
                 d_model=self.d_model, nhead=self.nhead,
                 dim_feedforward=self.dim_feedforward, dropout=self.dropout,
                 actn=self.actn, norm_first=self.norm_first,
-                name=f"layer_{i}",
+                dtype=self.dtype, name=f"layer_{i}",
             )
             out = layer(x, key_padding_mask, attn_mask, train, want)
             if want:

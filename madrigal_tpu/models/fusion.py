@@ -89,6 +89,7 @@ class TransformerFusion(nn.Module):
         # can wrap the whole module in nn.remat with them static
         cfg = self.cfg
         latent = cfg.latent_dim
+        cdt = getattr(cfg, "compute_dtype", "float32")
         B, S, _ = fusion_sequence.shape
 
         h = nn.Dense(latent, name="embed2latent")(fusion_sequence)
@@ -96,7 +97,7 @@ class TransformerFusion(nn.Module):
             num_layers=cfg.num_layers, d_model=latent, nhead=cfg.att_heads,
             dim_feedforward=cfg.ffn_dim, dropout=cfg.dropout, actn=cfg.actn,
             norm_first=cfg.norm_first,
-            remat=getattr(cfg, "remat", False),
+            remat=getattr(cfg, "remat", False), dtype=cdt,
             name="transformer_encoder",
         )(h, key_padding_mask=fusion_mask, attn_mask=src_mask, train=train,
           return_last_attn=return_last_attn)
@@ -127,7 +128,7 @@ class TransformerFusion(nn.Module):
                 q = qn(q)
             out = MultiheadAttention(
                 embed_dim=latent, num_heads=cfg.att_heads,
-                dropout=cfg.dropout, name="x_attn_mha",
+                dropout=cfg.dropout, dtype=cdt, name="x_attn_mha",
             )(q, kv, kv, key_padding_mask=kpm, train=train)
             out = nn.Dropout(rate=cfg.dropout, deterministic=not train,
                              name="x_attn_dropout")(out)

@@ -34,12 +34,31 @@ import jax.numpy as jnp
 
 from ..config import HGTConfig
 from ..data.kg import HeteroKGBatch, edge_key
-from ..ops.segment import segment_softmax, segment_sum
+from ..ops.segment import (
+    chunked_segment_softmax,
+    chunked_segment_sum,
+    segment_softmax,
+    segment_sum,
+)
+
+
+def _casters(compute_dtype):
+    """(cast, upcast) helpers for the mixed-precision edge pipeline.
+
+    compute_dtype None or float32 -> both are identity (no casts inserted;
+    preserves exact f32 numerics AND the f64 parity-test path). A reduced
+    dtype (bfloat16) -> cast lowers the big [E, H, D] streams, upcast
+    restores f32 for softmax statistics / accumulation."""
+    if compute_dtype is None or jnp.dtype(compute_dtype) == jnp.float32:
+        return (lambda x: x), (lambda x: x)
+    cdt = jnp.dtype(compute_dtype)
+    return (lambda x: x.astype(cdt)), (lambda x: x.astype(jnp.float32))
 
 
 def _edge_type_messages(q_dst, k_src, v_src, k_rel, v_rel, p_rel,
                         src, dst, mask, n_dst: int, axis_name=None,
-                        indices_are_sorted: bool = False):
+                        indices_are_sorted: bool = False,
+                        compute_dtype=jnp.float32):
     """One edge type's attention aggregate [n_dst, F] (pure arrays so it
     can be jax.checkpoint-ed: at full-KG training scale the per-edge
     [E, H, D] buffers of all 17 edge types otherwise stay live through
@@ -47,24 +66,67 @@ def _edge_type_messages(q_dst, k_src, v_src, k_rel, v_rel, p_rel,
 
     With `axis_name` (inside shard_map, src/dst/mask sharded over that
     mesh axis, node tables replicated) the segment softmax and sum merge
-    across the fleet's edge shards -- graph-parallel message passing."""
+    across the fleet's edge shards -- graph-parallel message passing.
+
+    `compute_dtype=bfloat16` runs the edge-level [E, H, D] streams
+    (gathers, logits product, weighted messages) in bf16 -- the pass is
+    HBM-bandwidth-bound, so this approaches 2x. Softmax statistics and
+    the output accumulation stay float32. compute_dtype=None inserts no
+    casts at all (f32 production path and f64 parity tests)."""
     D = k_rel.shape[-1]
-    k_s = jnp.einsum("nhd,hde->nhe", k_src, k_rel)
-    v_s = jnp.einsum("nhd,hde->nhe", v_src, v_rel)
+    cast, up = _casters(compute_dtype)
+    k_s = jnp.einsum("nhd,hde->nhe", cast(k_src), cast(k_rel))
+    v_s = jnp.einsum("nhd,hde->nhe", cast(v_src), cast(v_rel))
+    q_c = cast(q_dst)
     dst_safe = jnp.where(mask, dst, n_dst)
     logits = (
-        jnp.sum(q_dst[dst] * k_s[src], axis=-1)
+        jnp.sum(up(q_c[dst] * k_s[src]), axis=-1)
         * p_rel[None, :]
         / jnp.sqrt(jnp.asarray(D, jnp.float32))
-    )  # [E, H]
+    )  # [E, H] f32 (or the input dtype in the no-cast mode)
     alpha = segment_softmax(logits, dst_safe, n_dst, mask=mask,
                             axis_name=axis_name,
                             indices_are_sorted=indices_are_sorted)
-    msg = v_s[src] * alpha[..., None]  # [E, H, D]
+    msg = v_s[src] * cast(alpha)[..., None]  # [E, H, D]
     n, h, d = n_dst, msg.shape[1], msg.shape[2]
-    return segment_sum(msg, dst_safe, n_dst, axis_name=axis_name,
+    return segment_sum(up(msg), dst_safe, n_dst,
+                       axis_name=axis_name,
                        indices_are_sorted=indices_are_sorted
                        ).reshape(n, h * d)
+
+
+def _edge_type_messages_chunked(q_dst, k_src, v_src, k_rel, v_rel, p_rel,
+                                src, mask, chunk_dst, n_dst: int,
+                                chunk: int, axis_name=None,
+                                indices_are_sorted: bool = True,
+                                compute_dtype=jnp.float32):
+    """Degree-chunked variant of `_edge_type_messages` (same math; see
+    KGMetadata.edge_chunk). Destination-side values (query rows, softmax
+    statistics) move at chunk granularity and the output accumulation is a
+    streaming intra-chunk reduction + chunk-granular scatter -- the layout
+    that sidesteps the TPU's slow per-edge scatters."""
+    D = k_rel.shape[-1]
+    H = k_rel.shape[0]
+    cast, up = _casters(compute_dtype)
+    k_s = jnp.einsum("nhd,hde->nhe", cast(k_src), cast(k_rel))
+    v_s = jnp.einsum("nhd,hde->nhe", cast(v_src), cast(v_rel))
+    q_chunk = cast(q_dst)[chunk_dst]  # [E/c, H, D] (clamped sentinel
+    # rows are garbage but fully masked below)
+    k_g = k_s[src].reshape(-1, chunk, H, D)
+    logits = (
+        jnp.sum(up(q_chunk[:, None] * k_g), axis=-1)
+        .reshape(-1, H)
+        * p_rel[None, :]
+        / jnp.sqrt(jnp.asarray(D, jnp.float32))
+    )  # [E, H]
+    alpha = chunked_segment_softmax(
+        logits, mask, chunk_dst, n_dst, chunk, axis_name=axis_name,
+        indices_are_sorted=indices_are_sorted)
+    msg = v_s[src] * cast(alpha)[..., None]  # [E, H, D]
+    return chunked_segment_sum(
+        up(msg), chunk_dst, n_dst, chunk,
+        axis_name=axis_name, indices_are_sorted=indices_are_sorted,
+    ).reshape(n_dst, H * D)
 
 
 class HGTConv(nn.Module):
@@ -74,6 +136,7 @@ class HGTConv(nn.Module):
     softmax_scope: str = "per_edge_type"
     remat_edge_types: bool = False
     shard_axis: str | None = None
+    compute_dtype: str = "float32"
 
     @nn.compact
     def __call__(self, g: HeteroKGBatch, x_dict: Dict[str, jnp.ndarray]):
@@ -81,12 +144,18 @@ class HGTConv(nn.Module):
         H = self.heads
         D = F // H
         assert D * H == F
+        cdt = self.compute_dtype  # message fns interpret "float32" = no-op
+        cast, up = _casters(cdt)
+        chunk = g.metadata.edge_chunk
         edge_fn = _edge_type_messages
+        edge_fn_c = _edge_type_messages_chunked
         if self.remat_edge_types:
             import jax
 
             edge_fn = jax.checkpoint(_edge_type_messages,
-                                     static_argnums=(9, 10, 11))
+                                     static_argnums=(9, 10, 11, 12))
+            edge_fn_c = jax.checkpoint(_edge_type_messages_chunked,
+                                       static_argnums=(9, 10, 11, 12, 13))
 
         k_dict, q_dict, v_dict = {}, {}, {}
         for nt in g.metadata.node_types:
@@ -122,29 +191,53 @@ class HGTConv(nn.Module):
             if self.softmax_scope == "global":
                 # global scope must hold every type's logits/values until
                 # the per-dst-type softmax, so remat cannot apply here
-                k_s = jnp.einsum("nhd,hde->nhe", k_dict[src_t], k_rel)
-                v_s = jnp.einsum("nhd,hde->nhe", v_dict[src_t], v_rel)
+                k_s = jnp.einsum("nhd,hde->nhe",
+                                 cast(k_dict[src_t]), cast(k_rel))
+                v_s = jnp.einsum("nhd,hde->nhe",
+                                 cast(v_dict[src_t]), cast(v_rel))
+                if chunk > 0:
+                    chunk_dst = g.edge_chunk_dst[ek]
+                    q_chunk = cast(q_dict[dst_t])[chunk_dst]
+                    k_g = k_s[src].reshape(-1, chunk, H, D)
+                    logits = (
+                        jnp.sum(up(q_chunk[:, None] * k_g), axis=-1)
+                        .reshape(-1, H)
+                        * p_rel[None, :]
+                        / jnp.sqrt(jnp.asarray(D, jnp.float32))
+                    )  # [E, H]
+                    pending[dst_t].append(
+                        (logits, v_s[src], chunk_dst, mask))
+                    continue
                 dst_safe = jnp.where(mask, dst, n_dst)
                 logits = (
-                    jnp.sum(q_dict[dst_t][dst] * k_s[src], axis=-1)
+                    jnp.sum(up(cast(q_dict[dst_t])[dst]
+                               * k_s[src]), axis=-1)
                     * p_rel[None, :]
                     / jnp.sqrt(jnp.asarray(D, jnp.float32))
                 )  # [E, H]
                 pending[dst_t].append((logits, v_s[src], dst_safe, mask))
                 continue
+            chunk_dst = g.edge_chunk_dst[ek] if chunk > 0 else dst
             if self.remat_edge_types:
                 import jax
 
                 if carry is None:
                     carry = jnp.zeros((), jnp.float32)
-                src, dst, carry_in = jax.lax.optimization_barrier(
-                    (src, dst, carry)
+                src, dst, chunk_dst, carry_in = jax.lax.optimization_barrier(
+                    (src, dst, chunk_dst, carry)
                 )
-            out = edge_fn(
-                q_dict[dst_t], k_dict[src_t], v_dict[src_t],
-                k_rel, v_rel, p_rel, src, dst, mask, n_dst,
-                self.shard_axis, g.metadata.edges_sorted,
-            )
+            if chunk > 0:
+                out = edge_fn_c(
+                    q_dict[dst_t], k_dict[src_t], v_dict[src_t],
+                    k_rel, v_rel, p_rel, src, mask, chunk_dst,
+                    n_dst, chunk, self.shard_axis, True, cdt,
+                )
+            else:
+                out = edge_fn(
+                    q_dict[dst_t], k_dict[src_t], v_dict[src_t],
+                    k_rel, v_rel, p_rel, src, dst, mask, n_dst,
+                    self.shard_axis, g.metadata.edges_sorted, cdt,
+                )
             if self.remat_edge_types:
                 carry = out[0, 0]
             agg[dst_t].append(out)
@@ -161,11 +254,24 @@ class HGTConv(nn.Module):
                 vals = jnp.concatenate([it[1] for it in items], axis=0)
                 dsts = jnp.concatenate([it[2] for it in items], axis=0)
                 masks = jnp.concatenate([it[3] for it in items], axis=0)
+                if chunk > 0:
+                    # concatenation preserves chunk alignment (each type's
+                    # budget divides chunk) but not global dst order
+                    alpha = chunked_segment_softmax(
+                        logits, masks, dsts, n_dst, chunk,
+                        axis_name=self.shard_axis,
+                        indices_are_sorted=False)
+                    msg = vals * cast(alpha)[..., None]
+                    agg[nt].append(chunked_segment_sum(
+                        up(msg), dsts, n_dst, chunk,
+                        axis_name=self.shard_axis,
+                        indices_are_sorted=False).reshape(n_dst, F))
+                    continue
                 alpha = segment_softmax(logits, dsts, n_dst, mask=masks,
                                         axis_name=self.shard_axis)
-                msg = vals * alpha[..., None]
+                msg = vals * cast(alpha)[..., None]
                 agg[nt].append(
-                    segment_sum(msg, dsts, n_dst,
+                    segment_sum(up(msg), dsts, n_dst,
                                 axis_name=self.shard_axis).reshape(n_dst, F)
                 )
 
@@ -214,6 +320,7 @@ class HGTEncoder(nn.Module):
                 remat_edge_types=getattr(self.cfg, "remat_edge_types",
                                          False),
                 shard_axis=getattr(self.cfg, "shard_axis", None),
+                compute_dtype=getattr(self.cfg, "compute_dtype", "float32"),
                 name=f"conv_{i}",
             )(g, x)
             # reference relu placement (models.py:90-94): relu after conv i

@@ -30,17 +30,25 @@ from ..data.kg import HeteroKGBatch
 
 
 def pad_kg_edges_to_multiple(kg: HeteroKGBatch, m: int) -> HeteroKGBatch:
-    """Re-pad every edge type's arrays so its budget divides `m`.
+    """Re-pad every edge type's arrays so each device shard is non-ragged.
 
-    Padding entries carry src=dst=0 with mask=False; the segment ops remap
-    masked entries to the drop sentinel, so numerics are unchanged.
+    Plain layout: pad the edge axis to a multiple of `m`. Degree-chunked
+    layout (metadata.edge_chunk > 0): pad to a multiple of chunk*m so
+    shard boundaries stay chunk-aligned, and extend edge_chunk_dst with
+    the drop sentinel. Padding entries carry src=dst=0 with mask=False;
+    the segment ops drop them, so numerics are unchanged.
     """
-    if m <= 1:
+    chunk = kg.metadata.edge_chunk
+    unit = m * max(chunk, 1)
+    if unit <= 1:
         return kg
-    src_d, dst_d, mask_d = {}, {}, {}
+    src_d, dst_d, mask_d, cdst_d = {}, {}, {}, {}
+    dst_type = {  # edge key -> dst node count (for the chunk sentinel)
+        "__".join(et): kg.num_nodes(et[2]) for et in kg.metadata.edge_types
+    }
     for k, src in kg.edge_src.items():
         e = src.shape[0]
-        pad = (-e) % m
+        pad = (-e) % unit
         if pad:
             src_d[k] = jnp.concatenate(
                 [src, jnp.zeros((pad,), src.dtype)])
@@ -48,12 +56,20 @@ def pad_kg_edges_to_multiple(kg: HeteroKGBatch, m: int) -> HeteroKGBatch:
                 [kg.edge_dst[k], jnp.zeros((pad,), kg.edge_dst[k].dtype)])
             mask_d[k] = jnp.concatenate(
                 [kg.edge_mask[k], jnp.zeros((pad,), bool)])
+            if chunk > 0:
+                cdst_d[k] = jnp.concatenate([
+                    kg.edge_chunk_dst[k],
+                    jnp.full((pad // chunk,), dst_type[k], jnp.int32),
+                ])
         else:
             src_d[k] = src
             dst_d[k] = kg.edge_dst[k]
             mask_d[k] = kg.edge_mask[k]
+            if chunk > 0:
+                cdst_d[k] = kg.edge_chunk_dst[k]
     return dataclasses.replace(
-        kg, edge_src=src_d, edge_dst=dst_d, edge_mask=mask_d
+        kg, edge_src=src_d, edge_dst=dst_d, edge_mask=mask_d,
+        edge_chunk_dst=cdst_d,
     )
 
 
@@ -67,6 +83,7 @@ def kg_partition_specs(kg: HeteroKGBatch, axis: str) -> HeteroKGBatch:
         edge_mask={k: P(axis) for k in kg.edge_mask},
         drug_index_map=P(),
         metadata=kg.metadata,
+        edge_chunk_dst={k: P(axis) for k in kg.edge_chunk_dst},
     )
 
 

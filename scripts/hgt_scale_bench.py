@@ -78,14 +78,19 @@ def main():
     drug_ids = np.arange(node_feats["drug"].shape[0])
     variants = [
         ("unsorted", build_kg_batch(node_feats, edges, drug_ids=drug_ids)),
-        ("dst-sorted", build_kg_batch(node_feats, edges, drug_ids=drug_ids,
-                                      sort_edges=True)),
+        ("chunked8", build_kg_batch(node_feats, edges, drug_ids=drug_ids,
+                                    edge_chunk=8)),
     ]
 
-    for scope in ("per_edge_type", "global"):
+    for scope, dtype in (("per_edge_type", "float32"),
+                         ("per_edge_type", "bfloat16"),
+                         ("global", "float32"),
+                         ("global", "bfloat16")):
         for vname, kg in variants:
+            if dtype == "bfloat16" and vname != "chunked8":
+                continue
             cfg = HGTConfig(hidden_dim=128, num_layers=2, att_heads=4,
-                            softmax_scope=scope)
+                            softmax_scope=scope, compute_dtype=dtype)
             model = HGTEncoder(cfg=cfg, embed_dim=128, drug_only_head=True)
             t0 = time.perf_counter()
             variables = jax.jit(

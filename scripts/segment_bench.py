@@ -70,6 +70,15 @@ def gather_only(table, ids):
     return table[ids].sum(axis=0)
 
 
+@jax.jit
+def seg_chunked(data, chunk_dst):
+    # degree-chunked layout (ops/segment.chunked_segment_sum): streaming
+    # intra-chunk reduction + 8x-fewer-row scatter
+    partial = data.reshape(-1, 8, data.shape[1]).sum(axis=1)
+    return jax.ops.segment_sum(partial, chunk_dst, num_segments=N,
+                               indices_are_sorted=True)
+
+
 def main():
     rng = np.random.RandomState(0)
     data = jnp.asarray(rng.randn(E, F).astype(np.float32))
@@ -85,12 +94,19 @@ def main():
     err = np.max(np.abs(ref - got)) / max(np.max(np.abs(ref)), 1e-9)
     print(f"cumsum vs scatter rel err: {err:.2e}")
 
+    # chunked layout: every 8 consecutive (sorted) slots share one dst.
+    # Using sorted ids rounded down to chunk boundaries approximates the
+    # real padded layout's chunk_dst (exactness is tested elsewhere;
+    # here only the memory-access pattern matters).
+    chunk_dst_j = jnp.asarray(ids_s[::8].astype(np.int32))
+
     table = jnp.asarray(rng.randn(N, F).astype(np.float32))
     for name, fn, args in (
         ("a_scatter_unsorted", seg_unsorted, (data, ids_u)),
         ("b_scatter_sorted", seg_sorted, (data, ids_sj)),
         ("c_cumsum_boundaries", seg_cumsum, (data, ends_j)),
         ("d_gather_lower_bound", gather_only, (table, ids_u)),
+        ("e_chunked8_reduce_scatter", seg_chunked, (data, chunk_dst_j)),
     ):
         dt = timeit(fn, *args)
         print(f"{name}: {dt * 1e3:.1f} ms  "

@@ -53,7 +53,8 @@ from madrigal_tpu.train.finetune import FinetuneTrainer
 from hgt_scale_bench import EDGE_SPEC, NODE_TYPES  # noqa: E402
 
 
-def build_scale_data(n_drugs, n_labels, n_triples, scale, rng):
+def build_scale_data(n_drugs, n_labels, n_triples, scale, rng,
+                     kg_chunk=0):
     print(f"building {n_drugs} drugs / {n_triples} triples ...")
     mols = pack_molecules(
         [random_molecule(rng, int(rng.randint(8, 40)))
@@ -71,7 +72,8 @@ def build_scale_data(n_drugs, n_labels, n_triples, scale, rng):
             rng.randint(0, node_feats[dst].shape[0], e),
         ]).astype(np.int32)
     n_kg_drugs = node_feats["drug"].shape[0]
-    kg = build_kg_batch(node_feats, edges, drug_ids=np.arange(n_kg_drugs))
+    kg = build_kg_batch(node_feats, edges, drug_ids=np.arange(n_kg_drugs),
+                        edge_chunk=kg_chunk)
 
     masks = np.zeros((n_drugs, 3 + NUM_CELL_LINES), bool)
     masks[:, 1] = rng.rand(n_drugs) > 0.7   # 70% have KG
@@ -106,18 +108,19 @@ def build_scale_data(n_drugs, n_labels, n_triples, scale, rng):
     return batch, kg
 
 
-def flagship_cfg(n_labels, mode):
+def flagship_cfg(n_labels, mode, bf16=False):
+    cdt = "bfloat16" if bf16 else "float32"
     enc = EncoderConfig(
         feature_dim=128,
         gin=GINConfig(hidden_dims=(128, 128, 128), num_mlp_layer=3),
         hgt=HGTConfig(hidden_dim=128, num_layers=2, att_heads=4,
-                      remat_edge_types=True),
+                      remat_edge_types=True, compute_dtype=cdt),
         chemcpa=ChemCPAConfig(dim=128, autoencoder_width=512,
                               autoencoder_depth=2, use_drugs=False),
         transformer=FusionConfig(
             num_layers=2, att_heads=8, head_dim=256, ffn_dim=1024,
             dropout=0.2, actn="gelu", norm_first=True, agg="x-attn",
-            num_tx_bottlenecks=2, remat=True,
+            num_tx_bottlenecks=2, remat=True, compute_dtype=cdt,
         ),
         pos_emb_type="sinusoidal",
         fusion="transformer_uni_proj",
@@ -137,6 +140,10 @@ def main():
     ap.add_argument("--labels", type=int, default=960)
     ap.add_argument("--mode", type=str, default="full_full")
     ap.add_argument("--small", action="store_true")
+    ap.add_argument("--bf16", action="store_true",
+                    help="HGT + fusion compute_dtype=bfloat16")
+    ap.add_argument("--kg_chunk", type=int, default=0,
+                    help="degree-chunked KG arenas (8 = TPU default)")
     args = ap.parse_args()
     scale = 16 if args.small else 1
     n_drugs = 6843 // scale
@@ -144,8 +151,8 @@ def main():
 
     rng = np.random.RandomState(0)
     batch, kg = build_scale_data(n_drugs, args.labels, n_triples, scale,
-                                 rng)
-    cfg = flagship_cfg(args.labels, args.mode)
+                                 rng, kg_chunk=args.kg_chunk)
+    cfg = flagship_cfg(args.labels, args.mode, bf16=args.bf16)
 
     t0 = time.perf_counter()
     trainer = FinetuneTrainer(cfg, batch, kg)
@@ -164,7 +171,8 @@ def main():
     # completion barrier
     dt = (time.perf_counter() - t0) / reps
     print(
-        f"mode={args.mode}: {dt:.2f} s/epoch at N={n_drugs}, "
+        f"mode={args.mode}{' bf16' if args.bf16 else ''}: "
+        f"{dt:.2f} s/epoch at N={n_drugs}, "
         f"T={n_triples}, L={args.labels} -> 800-epoch finetune ~= "
         f"{dt * 800 / 60:.0f} min on one chip (reference: <=16 h on A100,"
         " finetune_twosides_scale.sh:6)"

@@ -223,3 +223,39 @@ def test_fusion_remat_matches(rng):
     for a, b in zip(jax.tree_util.tree_leaves(g1),
                     jax.tree_util.tree_leaves(g2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_fusion_bf16_compute_close_to_f32(rng):
+    """FusionConfig.compute_dtype='bfloat16' (attention/FFN activations in
+    bf16; params, LayerNorms, softmax, residual stream f32) stays close to
+    the f32 path and keeps f32 outputs + finite grads."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from madrigal_tpu.config import FusionConfig
+    from madrigal_tpu.models.fusion import TransformerFusion
+
+    cfg = FusionConfig(num_layers=2, att_heads=2, head_dim=8, ffn_dim=32,
+                       dropout=0.0, norm_first=True, agg="x-attn",
+                       num_tx_bottlenecks=2)
+    cfg_b = dataclasses.replace(cfg, compute_dtype="bfloat16")
+    S = NUM_MOD + 2
+    kwargs = dict(embed_dim=16, num_kv_tokens=S, num_non_tx=3)
+    m1 = TransformerFusion(cfg=cfg, **kwargs)
+    m2 = TransformerFusion(cfg=cfg_b, **kwargs)
+    x = jnp.asarray(rng.randn(4, S, 16).astype(np.float32))
+    kpm = jnp.asarray(rng.rand(4, S) < 0.3)
+    v = m1.init(jax.random.PRNGKey(0), x, kpm, train=False)
+    o1 = np.asarray(m1.apply(v, x, kpm, train=False))
+    o2 = np.asarray(m2.apply(v, x, kpm, train=False))
+    assert o2.dtype == np.float32
+    scale = np.abs(o1).max()
+    assert np.abs(o1 - o2).max() < 0.05 * scale
+
+    g = jax.grad(lambda v: jnp.sum(m2.apply(v, x, kpm, train=False) ** 2))(v)
+    for leaf in jax.tree_util.tree_leaves(g):
+        a = np.asarray(leaf)
+        assert np.all(np.isfinite(a))
+        assert a.dtype == np.float32  # grads land in param dtype

@@ -324,3 +324,175 @@ def test_hgt_sorted_edges_matches(rng):
         o2 = m.apply(v, kg_s, train=False)["drug"]
         np.testing.assert_allclose(np.asarray(o1), np.asarray(o2),
                                    atol=1e-5, rtol=1e-5)
+
+
+def test_hgt_bf16_compute_close_to_f32(rng):
+    """compute_dtype='bfloat16' (edge-stream throughput mode) stays close
+    to the f32 path: bf16 only touches the [E, H, D] message stream;
+    softmax statistics and accumulation remain f32. Gradients exist and
+    are finite."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    node_feats, edges = small_kg(rng)
+    batch = build_kg_batch(node_feats, edges, drug_ids=np.arange(10))
+    for scope in ("per_edge_type", "global"):
+        cfg = HGTConfig(hidden_dim=16, num_layers=2, att_heads=4,
+                        softmax_scope=scope)
+        cfg_b = dataclasses.replace(cfg, compute_dtype="bfloat16")
+        m1 = HGTEncoder(cfg=cfg, embed_dim=8, drug_only_head=True)
+        m2 = HGTEncoder(cfg=cfg_b, embed_dim=8, drug_only_head=True)
+        v = m1.init(jax.random.PRNGKey(0), batch, train=False)
+        o1 = np.asarray(m1.apply(v, batch, train=False)["drug"])
+        o2 = np.asarray(m2.apply(v, batch, train=False)["drug"])
+        assert o2.dtype == np.float32  # accumulation/output stay f32
+        scale = np.abs(o1).max()
+        assert np.abs(o1 - o2).max() < 0.03 * scale, (scope, o1, o2)
+
+        g = jax.grad(lambda vv: jnp.sum(
+            m2.apply(vv, batch, train=False)["drug"] ** 2))(v)
+        for leaf in jax.tree_util.tree_leaves(g):
+            assert np.all(np.isfinite(np.asarray(leaf)))
+
+
+def test_hgt_bf16_with_remat_matches_bf16(rng):
+    """remat_edge_types composes with compute_dtype='bfloat16'."""
+    import dataclasses
+
+    import jax
+
+    node_feats, edges = small_kg(rng)
+    batch = build_kg_batch(node_feats, edges, drug_ids=np.arange(10))
+    cfg_b = HGTConfig(hidden_dim=16, num_layers=2, att_heads=4,
+                      compute_dtype="bfloat16")
+    cfg_br = dataclasses.replace(cfg_b, remat_edge_types=True)
+    m1 = HGTEncoder(cfg=cfg_b, embed_dim=8, drug_only_head=True)
+    m2 = HGTEncoder(cfg=cfg_br, embed_dim=8, drug_only_head=True)
+    v = m1.init(jax.random.PRNGKey(0), batch, train=False)
+    o1 = m1.apply(v, batch, train=False)["drug"]
+    o2 = m2.apply(v, batch, train=False)["drug"]
+    np.testing.assert_allclose(np.asarray(o1), np.asarray(o2), atol=1e-6)
+
+
+def test_chunked_arena_layout(rng):
+    """Degree-chunked arena: every aligned chunk shares one dst; the
+    multiset of (src, dst) over unmasked slots matches the input edges."""
+    from madrigal_tpu.data.kg import _chunked_edge_arena
+
+    e = 233
+    ei = np.stack([rng.randint(0, 50, e), rng.randint(0, 37, e)])
+    src, dst, msk, chunk_dst = _chunked_edge_arena(ei, chunk=8)
+    assert src.shape[0] % 8 == 0
+    assert chunk_dst.shape[0] == src.shape[0] // 8
+    # chunk-constant dst
+    d = dst.reshape(-1, 8)
+    assert (d == d[:, :1]).all()
+    assert (d[:, 0] == chunk_dst).all()
+    # masked slots reproduce the original edge multiset
+    got = sorted(zip(src[msk].tolist(), dst[msk].tolist()))
+    want = sorted(zip(ei[0].tolist(), ei[1].tolist()))
+    assert got == want
+
+
+def test_chunked_segment_ops_match_unchunked(rng):
+    """chunked_segment_{sum,softmax} == plain segment ops on the same
+    logical edges."""
+    import jax.numpy as jnp
+
+    from madrigal_tpu.ops.segment import (
+        chunked_segment_softmax,
+        chunked_segment_sum,
+        segment_softmax,
+        segment_sum,
+    )
+
+    e, n, c, h = 120, 17, 4, 3
+    dst = np.sort(rng.randint(0, n, e)).astype(np.int32)
+    data = rng.randn(e, h).astype(np.float32)
+    # build the chunked layout by hand: pad each segment to a multiple of c
+    rows, cdst, cmask, cdata = [], [], [], []
+    for seg in range(n):
+        idx = np.where(dst == seg)[0]
+        if len(idx) == 0:
+            continue
+        pad = (-len(idx)) % c
+        block = np.concatenate([data[idx],
+                                np.zeros((pad, h), np.float32)])
+        m = np.concatenate([np.ones(len(idx), bool), np.zeros(pad, bool)])
+        cdata.append(block)
+        cmask.append(m)
+        cdst.extend([seg] * ((len(idx) + pad) // c))
+    cdata = np.concatenate(cdata)
+    cmask = np.concatenate(cmask)
+    cdst = np.asarray(cdst, np.int32)
+
+    ref_sum = segment_sum(jnp.asarray(data), jnp.asarray(dst), n)
+    got_sum = chunked_segment_sum(
+        jnp.asarray(np.where(cmask[:, None], cdata, 0.0)),
+        jnp.asarray(cdst), n, c)
+    np.testing.assert_allclose(np.asarray(got_sum), np.asarray(ref_sum),
+                               atol=1e-5)
+
+    ref_sm = segment_softmax(jnp.asarray(data), jnp.asarray(dst), n)
+    got_sm = chunked_segment_softmax(
+        jnp.asarray(cdata), jnp.asarray(cmask), jnp.asarray(cdst), n, c)
+    # compare per-(segment, head) sorted weights (row order differs)
+    for seg in range(n):
+        a = np.sort(np.asarray(ref_sm)[dst == seg], axis=0)
+        b = np.sort(np.asarray(got_sm)[cmask][cdst.repeat(c)[cmask] == seg],
+                    axis=0)
+        np.testing.assert_allclose(b, a, atol=1e-5)
+
+
+def test_hgt_chunked_matches_unchunked(rng):
+    """build_kg_batch(edge_chunk=8): layout changes, numerics do not
+    (fwd + grads, both softmax scopes, with and without remat/bf16)."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    node_feats, edges = small_kg(rng)
+    kg_u = build_kg_batch(node_feats, edges, drug_ids=np.arange(10))
+    kg_c = build_kg_batch(node_feats, edges, drug_ids=np.arange(10),
+                          edge_chunk=8)
+    assert kg_c.metadata.edge_chunk == 8
+    for scope in ("per_edge_type", "global"):
+        cfg = HGTConfig(hidden_dim=16, num_layers=2, att_heads=4,
+                        softmax_scope=scope)
+        m = HGTEncoder(cfg=cfg, embed_dim=8, drug_only_head=True)
+        v = m.init(jax.random.PRNGKey(0), kg_u, train=False)
+        o1 = m.apply(v, kg_u, train=False)["drug"]
+        o2 = m.apply(v, kg_c, train=False)["drug"]
+        np.testing.assert_allclose(np.asarray(o1), np.asarray(o2),
+                                   atol=1e-5, rtol=1e-5)
+
+        g1 = jax.grad(lambda vv: jnp.sum(
+            m.apply(vv, kg_u, train=False)["drug"] ** 2))(v)
+        g2 = jax.grad(lambda vv: jnp.sum(
+            m.apply(vv, kg_c, train=False)["drug"] ** 2))(v)
+        for a, b in zip(jax.tree_util.tree_leaves(g1),
+                        jax.tree_util.tree_leaves(g2)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-4, rtol=1e-4)
+
+    # remat + chunk composes (per_edge_type scope)
+    cfg_r = HGTConfig(hidden_dim=16, num_layers=2, att_heads=4,
+                      remat_edge_types=True)
+    m_r = HGTEncoder(cfg=cfg_r, embed_dim=8, drug_only_head=True)
+    cfg0 = HGTConfig(hidden_dim=16, num_layers=2, att_heads=4)
+    m0 = HGTEncoder(cfg=cfg0, embed_dim=8, drug_only_head=True)
+    v = m0.init(jax.random.PRNGKey(0), kg_u, train=False)
+    o_r = m_r.apply(v, kg_c, train=False)["drug"]
+    o_0 = m0.apply(v, kg_u, train=False)["drug"]
+    np.testing.assert_allclose(np.asarray(o_r), np.asarray(o_0),
+                               atol=1e-5, rtol=1e-5)
+
+    # bf16 + chunk composes
+    cfg_b = dataclasses.replace(cfg0, compute_dtype="bfloat16")
+    m_b = HGTEncoder(cfg=cfg_b, embed_dim=8, drug_only_head=True)
+    o_b = np.asarray(m_b.apply(v, kg_c, train=False)["drug"])
+    scale = np.abs(np.asarray(o_0)).max()
+    assert np.abs(o_b - np.asarray(o_0)).max() < 0.03 * scale

@@ -133,3 +133,29 @@ def test_pad_kg_edges_preserves_mask_budget():
             np.asarray(padded.edge_src[k][:e_orig]),
             np.asarray(kg.edge_src[k]),
         )
+
+
+@pytest.mark.parametrize("scope", ["per_edge_type", "global"])
+def test_sharded_kg_table_chunked_matches(scope):
+    """Graph-parallel message passing over degree-chunked arenas
+    (edge_chunk=8): chunk-aligned shard boundaries, same numerics."""
+    ds = make_dataset(num_drugs=12, num_labels=4, num_edges=20, seed=7)
+    coll = DDICollator(ds, split="train", pair_budget=120)
+    trainer, kg = _trainer(softmax_scope=scope)
+    kg_c = coll.kg_batch(edge_chunk=8)
+    variables = {"params": trainer.state.params}
+
+    ref = np.asarray(trainer.model.apply(
+        variables, kg,
+        method=lambda m, k: m.encoder.kg_drug_table(k, train=False),
+    ))
+
+    mesh = make_train_mesh(8, label_dim=1)
+    got = sharded_kg_drug_table(mesh, trainer.model, variables, kg_c,
+                                axis="dp")
+    np.testing.assert_allclose(got, ref, atol=1e-5, rtol=1e-5)
+    # shard boundaries stayed chunk-aligned
+    padded = pad_kg_edges_to_multiple(kg_c, 8)
+    for k, src in padded.edge_src.items():
+        assert src.shape[0] % (8 * 8) == 0
+        assert padded.edge_chunk_dst[k].shape[0] == src.shape[0] // 8
