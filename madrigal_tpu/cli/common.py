@@ -35,6 +35,9 @@ def add_common_args(p: argparse.ArgumentParser):
     p.add_argument("--platform", type=str, default=None,
                    choices=[None, "cpu", "tpu"],
                    help="force a jax platform (cpu for local debugging)")
+    p.add_argument("--kg_chunk", type=int, default=8,
+                   help="degree-chunked KG edge arenas (numerics-identical"
+                        " layout, ~3x faster HGT on TPU; 0 = plain layout)")
 
 
 def _parse_value(v: str):
@@ -80,5 +83,6 @@ def load_data(args: argparse.Namespace) -> Tuple[SyntheticDataset, DDICollator]:
         from ..data.datasets import load_reference_dataset
 
         ds = load_reference_dataset(args.data_dir)
-    coll = DDICollator(ds, split="train", seed=args.seed)
+    coll = DDICollator(ds, split="train", seed=args.seed,
+                       kg_edge_chunk=getattr(args, "kg_chunk", 0))
     return ds, coll

@@ -116,7 +116,8 @@ def main(argv=None):
         from ..data.kg import build_kg_batch
 
         kg = build_kg_batch(ds.kg_node_feats, message_edges,
-                            drug_ids=ds.kg_drug_ids)
+                            drug_ids=ds.kg_drug_ids,
+                            edge_chunk=getattr(args, "kg_chunk", 0))
         for epoch in range(args.num_epochs):
             loss = check_finite_loss(
                 trainer.train_step(kg, queries, labels), "kg")

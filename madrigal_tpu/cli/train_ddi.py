@@ -94,7 +94,8 @@ def main(argv=None):
         )
         from ..data.collate import DDICollator
 
-        coll = DDICollator(ds, split="train", seed=args.seed)
+        coll = DDICollator(ds, split="train", seed=args.seed,
+                           kg_edge_chunk=args.kg_chunk)
     elif args.data_dir and not args.all_train:
         from ..data.datasets import load_reference_dataset
 
@@ -126,7 +127,8 @@ def main(argv=None):
             ds.edge_df = union_edge_tables(list(splits.values()))
         from ..data.collate import DDICollator
 
-        coll = DDICollator(ds, split="train", seed=args.seed)
+        coll = DDICollator(ds, split="train", seed=args.seed,
+                           kg_edge_chunk=args.kg_chunk)
     cfg = TrainConfig(seed=args.seed, finetune_mode=args.finetune_mode)
     cfg = apply_overrides(cfg, args)
     for field in ("num_epochs", "warmup_epochs", "evaluate_interval"):

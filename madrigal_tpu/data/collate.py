@@ -55,6 +55,7 @@ class DDICollator:
         edge_budget: Optional[int] = None,
         pair_budget: Optional[int] = None,
         seed: int = 0,
+        kg_edge_chunk: int = 0,
     ):
         self.ds = ds
         self.split = split
@@ -63,6 +64,9 @@ class DDICollator:
         self.node_budget = node_budget
         self.edge_budget = edge_budget
         self.pair_budget = pair_budget
+        # degree-chunked KG arenas (data/kg.py KGMetadata.edge_chunk):
+        # numerics-identical, ~3x faster HGT message passing on TPU
+        self.kg_edge_chunk = kg_edge_chunk
         self.kg_row_lut = drug_row_lookup(ds.kg_drug_ids, ds.num_drugs)
 
         if self.num_neg:
@@ -132,6 +136,7 @@ class DDICollator:
                 rng=self.rng,
             )
             return sub
+        kw.setdefault("edge_chunk", self.kg_edge_chunk)
         return build_kg_batch(
             ds.kg_node_feats, ds.kg_edge_indices, ds.kg_drug_ids, **kw
         )

@@ -1,0 +1,178 @@
+"""CL-pretraining (SimCLR) step time at reference scale on the real chip.
+
+Reference anchor: stage-2 contrastive pretraining runs batch 768 for
+1500-5000 epochs under a 2-day SLURM limit on one GPU
+(configs/cl_pretrain/pretrain_twosides.yaml, run_pretrain_twosides.sh:6,
+parse_args.py:186,201). This measures OUR flagship CL step at that scale:
+
+  * batch 768 drugs out of 6,843, flagship encoder dims,
+  * two masked encoder views + InfoNCE (SimCLR, simclr.py:74-108),
+  * full PrimeKG-scale KG message pass shared per step.
+
+The drug batch is prebuilt and timing covers the jitted step only (the
+production input pipeline double-buffers host work; benchmarking through
+the axon tunnel's 31 MB/s host link would measure the tunnel, not the
+chip -- CLAUDE.md).
+
+Usage: python scripts/pretrain_scale_bench.py [--small] [--bf16]
+       [--kg_chunk 8] [--batch 768]
+"""
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+import pandas as pd
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+
+import jax.numpy as jnp
+
+from madrigal_tpu.config import (
+    ChemCPAConfig,
+    EncoderConfig,
+    FusionConfig,
+    GINConfig,
+    HGTConfig,
+    PretrainConfig,
+)
+from madrigal_tpu.constants import (
+    CV_INPUT_DIM,
+    NUM_CELL_LINES,
+    TX_INPUT_DIM,
+)
+from madrigal_tpu.data.collate import DDICollator
+from madrigal_tpu.data.kg import build_kg_batch
+from madrigal_tpu.data.synthetic import SyntheticDataset, random_molecule
+from madrigal_tpu.train.pretrain_cl import CLPretrainer
+
+from hgt_scale_bench import EDGE_SPEC, NODE_TYPES  # noqa: E402
+
+
+def build_ds(n_drugs, scale, rng):
+    node_feats = {
+        nt: rng.randn(max(n // scale, 8), 128).astype(np.float32)
+        for nt, n in NODE_TYPES.items()
+    }
+    # the drug node table maps 1:1 onto the first drugs
+    n_kg = min(n_drugs, node_feats["drug"].shape[0])
+    node_feats["drug"] = node_feats["drug"][:n_kg]
+    edges = {}
+    for src, rel, dst, e in EDGE_SPEC:
+        e = max(e // scale, 16)
+        edges[(src, rel, dst)] = np.stack([
+            rng.randint(0, node_feats[src].shape[0], e),
+            rng.randint(0, node_feats[dst].shape[0], e),
+        ]).astype(np.int32)
+
+    mod_avail = np.zeros((n_drugs, 3 + NUM_CELL_LINES), np.int64)
+    mod_avail[:, 0] = 1                                  # str for all
+    mod_avail[:n_kg, 1] = rng.rand(n_kg) > 0.3           # 70% have KG
+    mod_avail[:, 2] = rng.rand(n_drugs) > 0.5
+    mod_avail[:, 3:] = rng.rand(n_drugs, NUM_CELL_LINES) > 0.3
+
+    df = pd.DataFrame({"head": [0, 1], "tail": [1, 2],
+                       "label_indexed": [0, 0]})
+    ds = SyntheticDataset(
+        num_drugs=n_drugs,
+        num_labels=4,
+        molecules=[random_molecule(rng, int(rng.randint(8, 40)))
+                   for _ in range(n_drugs)],
+        mod_avail=mod_avail,
+        cv_table=rng.randn(n_drugs, CV_INPUT_DIM).astype(np.float32),
+        tx_table=rng.randn(NUM_CELL_LINES, n_drugs, TX_INPUT_DIM)
+        .astype(np.float32),
+        tx_dosages=rng.rand(NUM_CELL_LINES, n_drugs)
+        .astype(np.float32),
+        kg_node_feats=node_feats,
+        kg_edge_indices=edges,
+        kg_drug_ids=np.arange(n_kg),
+        edge_df=df,
+    )
+    return ds
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--small", action="store_true")
+    ap.add_argument("--batch", type=int, default=768)
+    ap.add_argument("--bf16", action="store_true")
+    ap.add_argument("--kg_chunk", type=int, default=0)
+    args = ap.parse_args()
+    scale = 16 if args.small else 1
+    n_drugs = 6843 // scale
+    bsz = min(args.batch, n_drugs)
+
+    rng = np.random.RandomState(0)
+    print(f"building {n_drugs} drugs + PrimeKG/{scale} ...")
+    ds = build_ds(n_drugs, scale, rng)
+    coll = DDICollator(ds, split="train", kg_edge_chunk=args.kg_chunk)
+    kg = coll.kg_batch()
+
+    cdt = "bfloat16" if args.bf16 else "float32"
+    enc = EncoderConfig(
+        feature_dim=128,
+        gin=GINConfig(hidden_dims=(128, 128, 128), num_mlp_layer=3),
+        hgt=HGTConfig(hidden_dim=128, num_layers=2, att_heads=4,
+                      compute_dtype=cdt),
+        chemcpa=ChemCPAConfig(dim=128, autoencoder_width=512,
+                              autoencoder_depth=2, use_drugs=False),
+        transformer=FusionConfig(
+            num_layers=2, att_heads=8, head_dim=256, ffn_dim=1024,
+            dropout=0.2, actn="gelu", norm_first=True, agg="x-attn",
+            num_tx_bottlenecks=2, compute_dtype=cdt,
+        ),
+        pos_emb_type="sinusoidal",
+        fusion="transformer_uni_proj",
+    )
+    cfg = PretrainConfig(
+        encoder=enc, pretrain_batch_size=bsz, pretrain_num_epochs=1500,
+        warmup_epochs=10, seed=0,
+    )
+
+    t0 = time.perf_counter()
+    trainer = CLPretrainer(cfg, coll, kg)
+    print(f"init: {time.perf_counter() - t0:.0f} s")
+
+    # prebuilt batch + fixed masks: time the jitted step only
+    ids = trainer.drug_ids[:bsz]
+    batch = coll.drug_batch(ids)
+    m1, m2 = trainer._sample_masks(ids)
+    m1, m2 = jnp.asarray(m1), jnp.asarray(m2)
+    key = jax.random.PRNGKey(1)
+
+    t0 = time.perf_counter()
+    state, loss = trainer._step(trainer.state, batch, kg, m1, m2, key)
+    print(f"first step (incl. compile): {time.perf_counter() - t0:.0f} s "
+          f"loss={float(loss):.4f}")
+
+    reps = 5
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        state, loss = trainer._step(state, batch, kg, m1, m2, key)
+    loss_v = float(loss)  # device->host read = completion barrier
+    dt = (time.perf_counter() - t0) / reps
+    tag = []
+    if args.bf16:
+        tag.append("bf16")
+    if args.kg_chunk:
+        tag.append(f"chunk{args.kg_chunk}")
+    steps_per_epoch = -(-len(trainer.drug_ids) // bsz)
+    total_min = dt * 1500 * steps_per_epoch / 60
+    print(
+        f"CL step{' ' + '+'.join(tag) if tag else ''}: {dt:.2f} s/step at "
+        f"bs={bsz}, N={n_drugs} ({len(trainer.drug_ids)} pretrain-eligible"
+        f" -> {steps_per_epoch} steps/epoch), full KG -> 1500-epoch "
+        f"pretrain ~= {total_min:.0f} min on one chip (reference: <=2 days"
+        f" on one GPU, run_pretrain_twosides.sh:6); loss={loss_v:.4f}"
+    )
+
+
+if __name__ == "__main__":
+    main()

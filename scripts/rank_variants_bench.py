@@ -93,6 +93,39 @@ def variant_d_u32(scores):
     return out + out.T
 
 
+@jax.jit
+def variant_f_searchsorted(scores):
+    # ONE value-only sort + binary-search gathers instead of two
+    # key+payload sorts: rank(v) = #(elements < v) + 1. Tie semantics:
+    # min-rank (competition ranking) instead of arbitrary positional --
+    # identical for distinct scores; the inf-padded upper triangle ties
+    # are masked out either way.
+    n = scores.shape[0]
+    m = n * (n - 1) // 2
+    tril, vals = lower_tri_vals(scores)
+    svals = lax.sort(vals, is_stable=False)
+    ranks = jnp.searchsorted(
+        svals, vals, side="left", method="scan_unrolled"
+    ).astype(jnp.float32) + 1.0
+    out = jnp.where(tril, ranks.reshape(n, n) / m, 0.0)
+    return out + out.T
+
+
+@jax.jit
+def variant_g_searchsorted_u32(scores):
+    # f variant with u32 keys (integer compares in both sort and search)
+    n = scores.shape[0]
+    m = n * (n - 1) // 2
+    tril, vals = lower_tri_vals(scores)
+    keys = _f32_to_sortable_u32(vals)
+    skeys = lax.sort(keys, is_stable=False)
+    ranks = jnp.searchsorted(
+        skeys, keys, side="left", method="scan_unrolled"
+    ).astype(jnp.float32) + 1.0
+    out = jnp.where(tril, ranks.reshape(n, n) / m, 0.0)
+    return out + out.T
+
+
 def make_batched(k):
     @jax.jit
     def variant_batched(scores_k):  # [K, N, N]
@@ -144,10 +177,19 @@ def main():
     )
     print("variants agree on 256x256")
 
+    # searchsorted variants: identical ranks whenever scores are distinct
+    # (min-rank on ties; the cross-check data is tie-free)
+    for name, fn in (("f", variant_f_searchsorted),
+                     ("g", variant_g_searchsorted_u32)):
+        np.testing.assert_allclose(np.asarray(fn(xs)), a, atol=1e-6,
+                                   err_msg=name)
+
     for name, fn in (("a_stable_argsort", variant_a),
                      ("b_unstable_laxsort", variant_b),
                      ("c_mixed", variant_c),
-                     ("d_u32_keys", variant_d_u32)):
+                     ("d_u32_keys", variant_d_u32),
+                     ("f_searchsorted", variant_f_searchsorted),
+                     ("g_searchsorted_u32", variant_g_searchsorted_u32)):
         dt = timeit(fn, x)
         print(f"{name}: {dt * 1e3:.1f} ms/outcome")
 
