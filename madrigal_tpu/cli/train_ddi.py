@@ -55,6 +55,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--frozen", action="store_true",
                    help="freeze the encoder; train the decoder only "
                         "(reference --frozen, utils.py:329-331)")
+    p.add_argument("--label_chunk", type=int, default=64,
+                   help="label-chunked (ELL) training-triple layout: "
+                        "numerics-identical, cuts the decoder's per-epoch"
+                        " weight gather/scatter by this factor on TPU "
+                        "(0 = per-triple gathers)")
     return p
 
 
@@ -140,6 +145,7 @@ def main(argv=None):
         model=dataclasses.replace(cfg.model, prediction_dim=ds.num_labels),
         train_with_str_str=args.train_with_str_str,
         frozen=args.frozen or cfg.frozen,
+        label_chunk_triples=args.label_chunk,
     )
     config_lib.validate(cfg)
     logger.info(f"config:\n{config_lib.dumps(cfg)}")

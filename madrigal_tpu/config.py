@@ -347,6 +347,14 @@ class TrainConfig:
     # TPU-memory knob for full-batch training at reference scale (trades
     # ~1 extra forward's FLOPs per forward for ~3x lower activation peak)
     remat_forwards: bool = False
+    # label-chunked (ELL) triple layout for the training loss: the static
+    # full-batch triple list is label-sorted once with each label's run
+    # padded to a multiple of this, so the decoder gathers each [D, D]
+    # weight slice once per chunk instead of once per triple (and its
+    # backward scatter-add shrinks by the same factor -- the dominant
+    # full-batch step cost on TPU). 0 = per-triple gathers. Numerics
+    # identical; the eval-facing triple order is unchanged.
+    label_chunk_triples: int = 0
 
 
 @dataclass(frozen=True)

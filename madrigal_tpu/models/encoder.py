@@ -441,12 +441,17 @@ class MadrigalMultilabel(nn.Module):
         return self.decoder.all_pairs(z_head, z_tail, label_range)
 
     def score_triples(self, head, tail, kg, head_idx, tail_idx, labels, *,
-                      kg_drug_table=None, train=False):
+                      kg_drug_table=None, train=False, chunk_labels=None,
+                      label_chunk: int = 0):
         """Triple-gather scoring: embeds unique heads/tails once, scores only
-        the (label, head, tail) entries needed (SURVEY.md section 7.3)."""
+        the (label, head, tail) entries needed (SURVEY.md section 7.3).
+        chunk_labels/label_chunk select the label-chunked triple layout
+        (see decoder.triples)."""
         z_head, z_tail = self.embed_pair(
             head, tail, kg, kg_drug_table=kg_drug_table, train=train)
-        return self.decoder.triples(z_head[head_idx], z_tail[tail_idx], labels)
+        return self.decoder.triples(
+            z_head[head_idx], z_tail[tail_idx], labels,
+            chunk_labels=chunk_labels, label_chunk=label_chunk)
 
     def score_single_drug(self, batch, kg, *, train=False):
         """[N, L_single] single-drug side-effect logits."""

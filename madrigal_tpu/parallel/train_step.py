@@ -55,6 +55,14 @@ def shard_finetune_trainer(trainer, mesh: Mesh, kg_shard_axis=None):
             f"triple count {T} must divide dp={mesh.shape['dp']}; "
             "collate with a pair_budget rounded to a dp multiple"
         )
+    lc = getattr(trainer, "label_chunk", 0)
+    if lc:
+        Tt = int(trainer.train_batch.labels.shape[0])
+        if (Tt // lc) % mesh.shape["dp"] != 0:
+            raise ValueError(
+                f"label-chunked triple count {Tt} / chunk {lc} must "
+                f"divide dp={mesh.shape['dp']} (chunk-aligned shards)"
+            )
     L = trainer.cfg.model.prediction_dim
     if L % mesh.shape["label"] != 0:
         raise ValueError(
@@ -76,16 +84,26 @@ def shard_finetune_trainer(trainer, mesh: Mesh, kg_shard_axis=None):
         opt_state=jax.device_put(trainer.state.opt_state, rep),
         epoch=trainer.state.epoch,
     )
-    trainer.batch = dataclasses.replace(
-        trainer.batch,
-        head=jax.device_put(trainer.batch.head, rep),
-        tail=jax.device_put(trainer.batch.tail, rep),
-        head_idx=jax.device_put(trainer.batch.head_idx, dp),
-        tail_idx=jax.device_put(trainer.batch.tail_idx, dp),
-        labels=jax.device_put(trainer.batch.labels, dp),
-        pos_neg=jax.device_put(trainer.batch.pos_neg, dp),
-        mask=jax.device_put(trainer.batch.mask, dp),
-    )
+    same_view = trainer.train_batch is trainer.batch
+
+    def place_batch(b):
+        return dataclasses.replace(
+            b,
+            head=jax.device_put(b.head, rep),
+            tail=jax.device_put(b.tail, rep),
+            head_idx=jax.device_put(b.head_idx, dp),
+            tail_idx=jax.device_put(b.tail_idx, dp),
+            labels=jax.device_put(b.labels, dp),
+            pos_neg=jax.device_put(b.pos_neg, dp),
+            mask=jax.device_put(b.mask, dp),
+        )
+
+    trainer.batch = place_batch(trainer.batch)
+    if same_view:
+        trainer.train_batch = trainer.batch
+    else:
+        trainer.train_batch = place_batch(trainer.train_batch)
+        trainer.chunk_labels = jax.device_put(trainer.chunk_labels, dp)
     if kg_shard_axis is None:
         trainer.kg = jax.device_put(trainer.kg, rep)
         trainer._kg_table_fn = None

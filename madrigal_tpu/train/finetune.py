@@ -37,6 +37,58 @@ class TrainState:
     epoch: jnp.ndarray
 
 
+def label_chunk_view(batch: DDIBatch, chunk: int, align: int = 8192):
+    """Label-chunked (ELL) TRAINING view of a DDIBatch triple list.
+
+    Sorts the (static, full-batch) triples by label and pads each label's
+    run to a multiple of `chunk` (padding rows: mask False), then pads the
+    arena to a multiple of `align` (the decoder's scan super-chunk; must
+    be a multiple of `chunk`). Every aligned chunk then shares ONE label,
+    so the decoder gathers each [D, D] weight slice once per chunk (see
+    decoder.triples). Returns (view_batch, chunk_labels[T'//chunk]).
+
+    The loss is a masked sum over triples, so reordering + masked padding
+    leaves training numerics identical (tests/test_train.py).
+    """
+    align = max(align, chunk)
+    assert align % chunk == 0
+    labels = np.asarray(batch.labels)
+    arrays = {
+        "head_idx": np.asarray(batch.head_idx),
+        "tail_idx": np.asarray(batch.tail_idx),
+        "pos_neg": np.asarray(batch.pos_neg),
+        "mask": np.asarray(batch.mask),
+    }
+    order = np.argsort(labels, kind="stable")
+    lab_s = labels[order]
+    uniq, counts = np.unique(lab_s, return_counts=True)
+    padded = ((counts + chunk - 1) // chunk) * chunk
+    total = int(padded.sum())
+    grand = ((total + align - 1) // align) * align
+
+    run_starts = np.concatenate([[0], np.cumsum(padded)[:-1]])
+    in_starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    pos = (np.arange(len(order)) - np.repeat(in_starts, counts)
+           + np.repeat(run_starts, counts))
+
+    lab_arena = np.zeros((grand,), labels.dtype)
+    lab_arena[:total] = np.repeat(uniq, padded)
+    out = {}
+    for name, a in arrays.items():
+        arena = np.zeros((grand,) + a.shape[1:], a.dtype)
+        arena[pos] = a[order]
+        out[name] = jnp.asarray(arena)
+    view = dataclasses.replace(
+        batch,
+        head_idx=out["head_idx"],
+        tail_idx=out["tail_idx"],
+        labels=jnp.asarray(lab_arena),
+        pos_neg=out["pos_neg"],
+        mask=out["mask"],
+    )
+    return view, jnp.asarray(lab_arena[::chunk].copy())
+
+
 class FinetuneTrainer:
     def __init__(
         self,
@@ -87,10 +139,21 @@ class FinetuneTrainer:
             seed=cfg.seed,
         )
 
-        # edge-side selections (computed once, host side)
-        head_g = np.asarray(batch.head.drugs)[np.asarray(batch.head_idx)]
-        tail_g = np.asarray(batch.tail.drugs)[np.asarray(batch.tail_idx)]
-        base_mask = np.asarray(batch.mask)
+        # label-chunked training view (eval-facing self.batch keeps the
+        # collator's triple order; see label_chunk_view)
+        self.label_chunk = int(getattr(cfg, "label_chunk_triples", 0) or 0)
+        if self.label_chunk:
+            self.train_batch, self.chunk_labels = label_chunk_view(
+                batch, self.label_chunk)
+        else:
+            self.train_batch, self.chunk_labels = batch, None
+
+        # edge-side selections (computed once, host side, in the
+        # TRAINING view's triple order)
+        tb = self.train_batch
+        head_g = np.asarray(tb.head.drugs)[np.asarray(tb.head_idx)]
+        tail_g = np.asarray(tb.tail.drugs)[np.asarray(tb.tail_idx)]
+        base_mask = np.asarray(tb.mask)
         directed = base_mask & (head_g < tail_g)
         if self.masker.edges_directed_only():
             self.w_all = jnp.asarray(directed)
@@ -108,7 +171,7 @@ class FinetuneTrainer:
 
     # ------------------------------------------------------------------
     def _forward_loss(self, params, batch_stats, batch, kg, masks_head,
-                      masks_tail, weights, dropout_rng):
+                      masks_tail, weights, dropout_rng, chunk_labels=None):
         # batch/kg are jit ARGUMENTS, not closure captures: closure
         # constants are serialized into the compiled program, which at
         # reference scale (6843 drugs x 16 cell lines x 978 genes + 8.3M
@@ -123,6 +186,8 @@ class FinetuneTrainer:
             batch.head_idx, batch.tail_idx, batch.labels,
             kg_drug_table=table,
             train=True,
+            chunk_labels=chunk_labels,
+            label_chunk=self.label_chunk,
             method=MadrigalMultilabel.score_triples,
             mutable=["batch_stats"],
             rngs={"dropout": dropout_rng},
@@ -143,7 +208,7 @@ class FinetuneTrainer:
             fwd = jax.checkpoint(fwd)
 
         def step(state: TrainState, batch, kg, w_all, w_directed,
-                 masks_head, masks_tail, rng):
+                 masks_head, masks_tail, rng, chunk_labels=None):
             def loss_fn(params):
                 bs = state.batch_stats
                 rngs = jax.random.split(rng, 3)
@@ -163,7 +228,7 @@ class FinetuneTrainer:
                     if with_str_str:
                         l, bs = fwd(
                             params, bs, batch, kg, masks_head, masks_head,
-                            w_directed, rngs[0],
+                            w_directed, rngs[0], chunk_labels,
                         )
                         losses["str_str"] = l
                         total = total + l
@@ -171,21 +236,21 @@ class FinetuneTrainer:
                     # X-X directed
                     l, bs = fwd(
                         params, bs, batch, kg, fence(masks_tail, prev),
-                        masks_tail, w_directed, rngs[1],
+                        masks_tail, w_directed, rngs[1], chunk_labels,
                     )
                     losses["X_X"] = l
                     total = total + l
                     # str-X undirected
                     l, bs = fwd(
                         params, bs, batch, kg, fence(masks_head, l),
-                        masks_tail, w_all, rngs[2],
+                        masks_tail, w_all, rngs[2], chunk_labels,
                     )
                     losses["str_X"] = l
                     total = total + l
                 else:
                     total, bs = fwd(
                         params, bs, batch, kg, masks_head, masks_tail,
-                        w_all, rngs[0],
+                        w_all, rngs[0], chunk_labels,
                     )
                 losses["total"] = total
                 return total, (losses, bs)
@@ -213,8 +278,9 @@ class FinetuneTrainer:
         mh, mt = self.masker.sample_epoch()
         self.rng, key = jax.random.split(self.rng)
         self.state, losses = self._step(
-            self.state, self.batch, self.kg, self.w_all, self.w_directed,
-            jnp.asarray(mh), jnp.asarray(mt), key,
+            self.state, self.train_batch, self.kg, self.w_all,
+            self.w_directed, jnp.asarray(mh), jnp.asarray(mt), key,
+            self.chunk_labels,
         )
         return {k: float(v) for k, v in losses.items()}
 

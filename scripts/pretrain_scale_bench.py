@@ -120,7 +120,7 @@ def main():
         feature_dim=128,
         gin=GINConfig(hidden_dims=(128, 128, 128), num_mlp_layer=3),
         hgt=HGTConfig(hidden_dim=128, num_layers=2, att_heads=4,
-                      compute_dtype=cdt),
+                      remat_edge_types=True, compute_dtype=cdt),
         chemcpa=ChemCPAConfig(dim=128, autoencoder_width=512,
                               autoencoder_depth=2, use_drugs=False),
         transformer=FusionConfig(

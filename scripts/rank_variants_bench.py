@@ -178,10 +178,16 @@ def main():
     print("variants agree on 256x256")
 
     # searchsorted variants: identical ranks whenever scores are distinct
-    # (min-rank on ties; the cross-check data is tie-free)
+    # (min-rank on ties, vs the double-argsort's arbitrary positional tie
+    # order). Cross-check on guaranteed-distinct values: 256^2 = 65536
+    # < 2^24 distinct f32-representable integers, randomly permuted.
+    xd = jnp.asarray(
+        rng.permutation(256 * 256).astype(np.float32).reshape(256, 256)
+        - 32768.0)
+    ad = np.asarray(variant_a(xd))
     for name, fn in (("f", variant_f_searchsorted),
                      ("g", variant_g_searchsorted_u32)):
-        np.testing.assert_allclose(np.asarray(fn(xs)), a, atol=1e-6,
+        np.testing.assert_allclose(np.asarray(fn(xd)), ad, atol=1e-6,
                                    err_msg=name)
 
     for name, fn in (("a_stable_argsort", variant_a),

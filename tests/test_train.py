@@ -317,3 +317,74 @@ def test_frozen_encoder_trains_decoder_only(data):
             encoder_changed |= changed
     assert decoder_changed
     assert not encoder_changed
+
+
+@pytest.mark.parametrize("mode", ["full_full", "str_random_sample"])
+def test_label_chunked_triples_match(data, mode):
+    """label_chunk_triples (label-sorted ELL training view of the triple
+    list) changes decoder memory traffic, not numerics: per-epoch losses
+    and post-training params match the per-triple-gather path."""
+    import dataclasses
+
+    ds, batch, kg = data
+    cfg0 = tiny_cfg(finetune_mode=mode)
+    cfg1 = dataclasses.replace(cfg0, label_chunk_triples=8)
+    t0 = FinetuneTrainer(cfg0, batch, kg)
+    t1 = FinetuneTrainer(cfg1, batch, kg)
+    assert t1.chunk_labels is not None
+    Tc = int(t1.train_batch.labels.shape[0])
+    assert Tc % 8 == 0
+    # chunk-constant labels in the training view
+    lab = np.asarray(t1.train_batch.labels).reshape(-1, 8)
+    assert (lab == lab[:, :1]).all()
+    # same active triple multiset
+    m0 = np.asarray(batch.mask)
+    m1 = np.asarray(t1.train_batch.mask)
+    trip0 = sorted(zip(np.asarray(batch.head_idx)[m0].tolist(),
+                       np.asarray(batch.tail_idx)[m0].tolist(),
+                       np.asarray(batch.labels)[m0].tolist()))
+    trip1 = sorted(zip(np.asarray(t1.train_batch.head_idx)[m1].tolist(),
+                       np.asarray(t1.train_batch.tail_idx)[m1].tolist(),
+                       np.asarray(t1.train_batch.labels)[m1].tolist()))
+    assert trip0 == trip1
+
+    # decoder path equality at FIXED params: chunked vs per-triple scores
+    # over the same logical triples (tight, deterministic)
+    from madrigal_tpu.models.encoder import MadrigalMultilabel
+
+    def scores(tr, b, **kw):
+        out = tr.model.apply(
+            {"params": t0.state.params,
+             "batch_stats": t0.state.batch_stats},
+            b.head, b.tail, kg, b.head_idx, b.tail_idx, b.labels,
+            train=False, method=MadrigalMultilabel.score_triples, **kw)
+        return np.asarray(out)
+
+    s_ref = scores(t0, batch)
+    s_chk = scores(t1, t1.train_batch, chunk_labels=t1.chunk_labels,
+                   label_chunk=8)
+    by_triple_ref = {}
+    for i in np.nonzero(m0)[0]:
+        k = (int(np.asarray(batch.head_idx)[i]),
+             int(np.asarray(batch.tail_idx)[i]),
+             int(np.asarray(batch.labels)[i]))
+        by_triple_ref.setdefault(k, []).append(s_ref[i])
+    for i in np.nonzero(m1)[0]:
+        k = (int(np.asarray(t1.train_batch.head_idx)[i]),
+             int(np.asarray(t1.train_batch.tail_idx)[i]),
+             int(np.asarray(t1.train_batch.labels)[i]))
+        ref_vals = by_triple_ref[k]
+        assert min(abs(s_chk[i] - r) for r in ref_vals) < 1e-5, k
+
+    # loss trajectories equal; params only loosely (Adam's 1/sqrt(v)
+    # amplifies f32 reduction-order noise on near-zero-gradient params
+    # up to O(lr) per step)
+    for _ in range(3):
+        l0 = t0.train_epoch()
+        l1 = t1.train_epoch()
+        assert abs(l0["total"] - l1["total"]) < 1e-4, (l0, l1)
+    lr = 3e-3
+    for a, b in zip(jax.tree_util.tree_leaves(t0.state.params),
+                    jax.tree_util.tree_leaves(t1.state.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=3 * lr, rtol=0)
