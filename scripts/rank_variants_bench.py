@@ -163,8 +163,13 @@ def main():
     rng = np.random.RandomState(0)
     x = jnp.asarray(rng.randn(N, N).astype(np.float32))
 
-    # correctness cross-check on a small case
-    xs = jnp.asarray(rng.randn(256, 256).astype(np.float32))
+    # correctness cross-check on a small case. Distinct values only:
+    # 256^2 = 65536 < 2^24 f32-representable integers, permuted -- with
+    # random floats ~0.02% of entries tie in f32 and stable/unstable/
+    # min-rank variants legitimately order ties differently.
+    xs = jnp.asarray(
+        rng.permutation(256 * 256).astype(np.float32).reshape(256, 256)
+        - 32768.0)
     a = np.asarray(variant_a(xs))
     for name, fn in (("b", variant_b), ("c", variant_c),
                      ("d_u32", variant_d_u32)):
@@ -179,15 +184,10 @@ def main():
 
     # searchsorted variants: identical ranks whenever scores are distinct
     # (min-rank on ties, vs the double-argsort's arbitrary positional tie
-    # order). Cross-check on guaranteed-distinct values: 256^2 = 65536
-    # < 2^24 distinct f32-representable integers, randomly permuted.
-    xd = jnp.asarray(
-        rng.permutation(256 * 256).astype(np.float32).reshape(256, 256)
-        - 32768.0)
-    ad = np.asarray(variant_a(xd))
+    # order)
     for name, fn in (("f", variant_f_searchsorted),
                      ("g", variant_g_searchsorted_u32)):
-        np.testing.assert_allclose(np.asarray(fn(xd)), ad, atol=1e-6,
+        np.testing.assert_allclose(np.asarray(fn(xs)), a, atol=1e-6,
                                    err_msg=name)
 
     for name, fn in (("a_stable_argsort", variant_a),
