@@ -34,6 +34,16 @@ def lower_tri_mask(n: int) -> jnp.ndarray:
     return rows > cols
 
 
+def _f32_to_sortable_u32(x: jnp.ndarray) -> jnp.ndarray:
+    """Monotone bijection f32 -> u32 (IEEE total order over finite + inf):
+    flip all bits of negatives, set the sign bit of non-negatives.
+    Integer-key sorts run ~7% faster than f32-key sorts on TPU
+    (scripts/rank_variants_bench.py: 276 vs 296 ms/outcome at N=6843)."""
+    u = jax.lax.bitcast_convert_type(x, jnp.uint32)
+    neg = (u >> 31) == 1
+    return jnp.where(neg, ~u, u | jnp.uint32(0x80000000))
+
+
 def normalized_rank_matrix(scores: jnp.ndarray,
                            stable: bool = True) -> jnp.ndarray:
     """Rank-normalize one outcome's [N, N] score matrix.
@@ -48,16 +58,20 @@ def normalized_rank_matrix(scores: jnp.ndarray,
     compaction) -- TPU scatters cost more than the extra sort.
 
     stable=True gives deterministic ascending-position tie ranks;
-    stable=False is ~12% faster (296 vs 335 ms/outcome at N=6843) and
-    matches the reference's OWN tie behavior (numpy's default argsort is
-    unstable quicksort). Outputs are identical for distinct scores.
+    stable=False is faster (276 vs 334 ms/outcome at N=6843: unstable
+    sort + u32 sort keys via the monotone IEEE bijection) and matches the
+    reference's OWN tie behavior (numpy's default argsort is unstable
+    quicksort, i.e. arbitrary tie order). Outputs are identical for
+    distinct scores.
     """
     n = scores.shape[0]
     m = n * (n - 1) // 2
     tril = lower_tri_mask(n)
     vals = jnp.where(tril, scores, jnp.inf).reshape(-1)
     iota = jax.lax.iota(jnp.int32, vals.shape[0])
-    _, order = jax.lax.sort((vals, iota), is_stable=stable, num_keys=1)
+    keys = (_f32_to_sortable_u32(vals)
+            if not stable and vals.dtype == jnp.float32 else vals)
+    _, order = jax.lax.sort((keys, iota), is_stable=stable, num_keys=1)
     _, inv = jax.lax.sort((order, iota), is_stable=stable, num_keys=1)
     ranks = inv.astype(jnp.float32) + 1.0
     out = jnp.where(tril, ranks.reshape(n, n) / m, 0.0)
