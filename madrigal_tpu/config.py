@@ -355,6 +355,13 @@ class TrainConfig:
     # full-batch step cost on TPU). 0 = per-triple gathers. Numerics
     # identical; the eval-facing triple order is unchanged.
     label_chunk_triples: int = 0
+    # three-way-loss modes only: run each of the (up to 3) forwards as its
+    # own jitted value_and_grad and accumulate gradients, instead of one
+    # monolithic 3-forward step. Gradient-of-sum == sum-of-gradients, so
+    # numerics match the fused step; peak activation memory AND compiler
+    # working-set shrink to one forward's (the fused 3-forward program at
+    # reference scale can OOM the XLA *compiler*).
+    split_forward_grads: bool = False
 
 
 @dataclass(frozen=True)

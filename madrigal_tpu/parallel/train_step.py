@@ -123,6 +123,7 @@ def shard_finetune_trainer(trainer, mesh: Mesh, kg_shard_axis=None):
     trainer.w_all = jax.device_put(trainer.w_all, dp)
     trainer.w_directed = jax.device_put(trainer.w_directed, dp)
     trainer._step = jax.jit(trainer._make_step(), donate_argnums=(0,))
+    trainer._split_steps = None  # rebuild lazily on the sharded arrays
     trainer.mesh = mesh
     return trainer
 

@@ -168,6 +168,7 @@ class FinetuneTrainer:
         # drug table; gradients flow through it into the HGT weights
         self._kg_table_fn = None
         self._step = jax.jit(self._make_step(), donate_argnums=(0,))
+        self._split_steps = None  # built lazily (cfg.split_forward_grads)
 
     # ------------------------------------------------------------------
     def _forward_loss(self, params, batch_stats, batch, kg, masks_head,
@@ -273,10 +274,82 @@ class FinetuneTrainer:
 
         return step
 
+    # -- split-forward gradient accumulation ---------------------------
+    def _make_split_steps(self):
+        """Per-forward value_and_grad + a gradient-apply step
+        (cfg.split_forward_grads): gradient-of-sum == sum-of-gradients,
+        so accumulating across the (up to 3) forwards matches the fused
+        3-forward step numerically while each compiled program holds only
+        ONE forward (the fused program at reference scale can exhaust the
+        XLA compiler's memory, not just the device's)."""
+        fwd = self._forward_loss
+        if getattr(self.cfg, "remat_forwards", False):
+            fwd = jax.checkpoint(fwd)
+
+        @jax.jit
+        def grad_step(params, batch_stats, batch, kg, masks_head,
+                      masks_tail, weights, rng, chunk_labels=None):
+            (loss, new_bs), grads = jax.value_and_grad(
+                fwd, has_aux=True
+            )(params, batch_stats, batch, kg, masks_head, masks_tail,
+              weights, rng, chunk_labels)
+            return loss, grads, new_bs
+
+        @jax.jit
+        def accum(a, b):
+            return jax.tree_util.tree_map(jnp.add, a, b)
+
+        @jax.jit
+        def apply_step(state: TrainState, grads, new_bs):
+            updates, new_opt = self.tx.update(
+                grads, state.opt_state, state.params
+            )
+            new_params = jax.tree_util.tree_map(
+                lambda p, u: p + u, state.params, updates
+            )
+            return TrainState(
+                params=new_params, batch_stats=new_bs, opt_state=new_opt,
+                epoch=state.epoch + 1,
+            )
+
+        return grad_step, accum, apply_step
+
+    def _split_epoch(self, mh, mt, rng) -> Dict[str, float]:
+        if self._split_steps is None:
+            self._split_steps = self._make_split_steps()
+        grad_step, accum, apply_step = self._split_steps
+        rngs = jax.random.split(rng, 3)
+        plan = []  # (name, masks_head, masks_tail, weights, rng)
+        if self.masker.uses_three_way_loss:
+            if self.cfg.train_with_str_str:
+                plan.append(("str_str", mh, mh, self.w_directed, rngs[0]))
+            plan.append(("X_X", mt, mt, self.w_directed, rngs[1]))
+            plan.append(("str_X", mh, mt, self.w_all, rngs[2]))
+        else:
+            plan.append(("total", mh, mt, self.w_all, rngs[0]))
+
+        losses: Dict[str, float] = {}
+        grads = None
+        bs = self.state.batch_stats
+        for name, h, t, w, r in plan:
+            loss, g, bs = grad_step(
+                self.state.params, bs, self.train_batch, self.kg,
+                h, t, w, r, self.chunk_labels,
+            )
+            losses[name] = loss
+            grads = g if grads is None else accum(grads, g)
+        self.state = apply_step(self.state, grads, bs)
+        losses["total"] = sum(losses.values()) if len(plan) > 1 else (
+            losses[plan[0][0]])
+        return {k: float(v) for k, v in losses.items()}
+
     # ------------------------------------------------------------------
     def train_epoch(self) -> Dict[str, float]:
         mh, mt = self.masker.sample_epoch()
         self.rng, key = jax.random.split(self.rng)
+        if getattr(self.cfg, "split_forward_grads", False):
+            return self._split_epoch(
+                jnp.asarray(mh), jnp.asarray(mt), key)
         self.state, losses = self._step(
             self.state, self.train_batch, self.kg, self.w_all,
             self.w_directed, jnp.asarray(mh), jnp.asarray(mt), key,

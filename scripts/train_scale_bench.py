@@ -108,7 +108,8 @@ def build_scale_data(n_drugs, n_labels, n_triples, scale, rng,
     return batch, kg
 
 
-def flagship_cfg(n_labels, mode, bf16=False, label_chunk=0):
+def flagship_cfg(n_labels, mode, bf16=False, label_chunk=0,
+                 split=False):
     cdt = "bfloat16" if bf16 else "float32"
     enc = EncoderConfig(
         feature_dim=128,
@@ -131,6 +132,7 @@ def flagship_cfg(n_labels, mode, bf16=False, label_chunk=0):
         optim=OptimizerConfig(),
         finetune_mode=mode, num_epochs=800, warmup_epochs=10, seed=0,
         remat_forwards=True, label_chunk_triples=label_chunk,
+        split_forward_grads=split,
     )
 
 
@@ -146,6 +148,8 @@ def main():
                     help="degree-chunked KG arenas (8 = TPU default)")
     ap.add_argument("--label_chunk", type=int, default=0,
                     help="label-chunked triple layout (64 = CLI default)")
+    ap.add_argument("--split", action="store_true",
+                    help="split_forward_grads: per-forward grad steps")
     args = ap.parse_args()
     scale = 16 if args.small else 1
     n_drugs = 6843 // scale
@@ -155,7 +159,8 @@ def main():
     batch, kg = build_scale_data(n_drugs, args.labels, n_triples, scale,
                                  rng, kg_chunk=args.kg_chunk)
     cfg = flagship_cfg(args.labels, args.mode, bf16=args.bf16,
-                   label_chunk=args.label_chunk)
+                   label_chunk=args.label_chunk,
+                   split=args.split)
 
     t0 = time.perf_counter()
     trainer = FinetuneTrainer(cfg, batch, kg)
@@ -174,7 +179,9 @@ def main():
     # completion barrier
     dt = (time.perf_counter() - t0) / reps
     print(
-        f"mode={args.mode}{' bf16' if args.bf16 else ''}{' lc%d' % args.label_chunk if args.label_chunk else ''}: "
+        f"mode={args.mode}{' bf16' if args.bf16 else ''}"
+        f"{' lc%d' % args.label_chunk if args.label_chunk else ''}"
+        f"{' split' if args.split else ''}: "
         f"{dt:.2f} s/epoch at N={n_drugs}, "
         f"T={n_triples}, L={args.labels} -> 800-epoch finetune ~= "
         f"{dt * 800 / 60:.0f} min on one chip (reference: <=16 h on A100,"

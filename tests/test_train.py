@@ -388,3 +388,31 @@ def test_label_chunked_triples_match(data, mode):
                     jax.tree_util.tree_leaves(t1.state.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=3 * lr, rtol=0)
+
+
+@pytest.mark.parametrize("mode,with_ss", [("str_random_sample", False),
+                                          ("str_random_sample", True),
+                                          ("full_full", False)])
+def test_split_forward_grads_match_fused(data, mode, with_ss):
+    """split_forward_grads (per-forward value_and_grad + gradient
+    accumulation) matches the fused multi-forward step: gradient-of-sum
+    == sum-of-gradients, same per-forward rngs and batch_stats
+    threading."""
+    import dataclasses
+
+    ds, batch, kg = data
+    cfg0 = tiny_cfg(finetune_mode=mode)
+    cfg0 = dataclasses.replace(cfg0, train_with_str_str=with_ss)
+    cfg1 = dataclasses.replace(cfg0, split_forward_grads=True)
+    t0 = FinetuneTrainer(cfg0, batch, kg)
+    t1 = FinetuneTrainer(cfg1, batch, kg)
+    for _ in range(2):
+        l0 = t0.train_epoch()
+        l1 = t1.train_epoch()
+        for k in l0:
+            assert abs(l0[k] - l1[k]) < 1e-4, (k, l0, l1)
+    lr = 3e-3
+    for a, b in zip(jax.tree_util.tree_leaves(t0.state.params),
+                    jax.tree_util.tree_leaves(t1.state.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=3 * lr, rtol=0)
