@@ -60,6 +60,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "numerics-identical, cuts the decoder's per-epoch"
                         " weight gather/scatter by this factor on TPU "
                         "(0 = per-triple gathers)")
+    p.add_argument("--split_forwards", action="store_true",
+                   help="three-way-loss modes: per-forward grad "
+                        "accumulation instead of one fused 3-forward "
+                        "step (numerics-identical; needed at reference "
+                        "scale where the fused program exhausts the XLA "
+                        "compiler)")
     return p
 
 
@@ -146,6 +152,7 @@ def main(argv=None):
         train_with_str_str=args.train_with_str_str,
         frozen=args.frozen or cfg.frozen,
         label_chunk_triples=args.label_chunk,
+        split_forward_grads=args.split_forwards or cfg.split_forward_grads,
     )
     config_lib.validate(cfg)
     logger.info(f"config:\n{config_lib.dumps(cfg)}")
