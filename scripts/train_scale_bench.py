@@ -109,7 +109,7 @@ def build_scale_data(n_drugs, n_labels, n_triples, scale, rng,
 
 
 def flagship_cfg(n_labels, mode, bf16=False, label_chunk=0,
-                 split=False):
+                 split=False, fusion_chunk=512):
     cdt = "bfloat16" if bf16 else "float32"
     enc = EncoderConfig(
         feature_dim=128,
@@ -125,7 +125,7 @@ def flagship_cfg(n_labels, mode, bf16=False, label_chunk=0,
         ),
         pos_emb_type="sinusoidal",
         fusion="transformer_uni_proj",
-        fusion_batch_chunk=512,
+        fusion_batch_chunk=fusion_chunk,
     )
     return TrainConfig(
         model=ModelConfig(encoder=enc, prediction_dim=n_labels),
@@ -150,6 +150,9 @@ def main():
                     help="label-chunked triple layout (64 = CLI default)")
     ap.add_argument("--split", action="store_true",
                     help="split_forward_grads: per-forward grad steps")
+    ap.add_argument("--fusion_chunk", type=int, default=512,
+                    help="drug-axis fusion chunk (bigger = less scan "
+                         "serialization, more activation memory)")
     args = ap.parse_args()
     scale = 16 if args.small else 1
     n_drugs = 6843 // scale
@@ -160,7 +163,8 @@ def main():
                                  rng, kg_chunk=args.kg_chunk)
     cfg = flagship_cfg(args.labels, args.mode, bf16=args.bf16,
                    label_chunk=args.label_chunk,
-                   split=args.split)
+                   split=args.split,
+                   fusion_chunk=args.fusion_chunk)
 
     t0 = time.perf_counter()
     trainer = FinetuneTrainer(cfg, batch, kg)
