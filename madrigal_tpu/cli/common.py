@@ -64,11 +64,9 @@ def setup_platform(args: argparse.Namespace):
         import jax
 
         jax.config.update("jax_platforms", "cpu")
-    import jax
+    from ..utils.cache import enable_compile_cache
 
-    jax.config.update("jax_compilation_cache_dir",
-                      "/tmp/madrigal_jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    enable_compile_cache(root="/tmp/madrigal_jax_cache")
 
 
 def load_data(args: argparse.Namespace) -> Tuple[SyntheticDataset, DDICollator]:

@@ -55,11 +55,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--frozen", action="store_true",
                    help="freeze the encoder; train the decoder only "
                         "(reference --frozen, utils.py:329-331)")
-    p.add_argument("--label_chunk", type=int, default=64,
+    p.add_argument("--label_chunk", type=int, default=None,
                    help="label-chunked (ELL) training-triple layout: "
                         "numerics-identical, cuts the decoder's per-epoch"
                         " weight gather/scatter by this factor on TPU "
-                        "(0 = per-triple gathers)")
+                        "(0 = per-triple gathers; default 64 unless the "
+                        "config file sets label_chunk_triples)")
     p.add_argument("--split_forwards", action="store_true",
                    help="three-way-loss modes: per-forward grad "
                         "accumulation instead of one fused 3-forward "
@@ -151,7 +152,10 @@ def main(argv=None):
         model=dataclasses.replace(cfg.model, prediction_dim=ds.num_labels),
         train_with_str_str=args.train_with_str_str,
         frozen=args.frozen or cfg.frozen,
-        label_chunk_triples=args.label_chunk,
+        # explicit flag wins; else a config-file label_chunk_triples; else
+        # the TPU default 64 (pass --label_chunk 0 to force per-triple)
+        label_chunk_triples=(args.label_chunk if args.label_chunk is not None
+                             else (cfg.label_chunk_triples or 64)),
         split_forward_grads=args.split_forwards or cfg.split_forward_grads,
     )
     config_lib.validate(cfg)

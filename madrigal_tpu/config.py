@@ -362,6 +362,15 @@ class TrainConfig:
     # working-set shrink to one forward's (the fused 3-forward program at
     # reference scale can OOM the XLA *compiler*).
     split_forward_grads: bool = False
+    # split_forward_grads multi-forward modes: compute the full-KG drug
+    # table ONCE per epoch and pass it into each per-forward grad program
+    # as an argument, accumulating the table cotangents across forwards
+    # and running a single KG backward at the end -- instead of paying the
+    # (mask-independent, rng-free) KG fwd+bwd inside every forward. The
+    # fused step gets this for free from XLA CSE; this restores it for the
+    # split path. KG cost per epoch: 3x(fwd+bwd) -> 2xfwd + 1xbwd.
+    # Numerics identical (the KG path has no dropout/batch_stats).
+    split_share_kg_table: bool = True
 
 
 @dataclass(frozen=True)
@@ -494,5 +503,19 @@ def validate(cfg: Any) -> None:
         elif cfg.data_source == "TWOSIDES":
             assert cfg.task == "multilabel", "TWOSIDES uses multilabel task"
         assert cfg.finetune_mode in FINETUNE_MODES, cfg.finetune_mode
+        lc = cfg.label_chunk_triples
+        if lc:
+            # The chunk-scanned decoder reshapes [TRIPLE_CHUNK]-sized scan
+            # chunks into [C/lc, lc]; a non-divisor would silently need
+            # ragged chunks. Fail here with a usable message instead of an
+            # AssertionError deep inside the jit trace.
+            from .models.decoder import BilinearDDIScorer
+
+            c = BilinearDDIScorer.TRIPLE_CHUNK
+            if lc < 0 or c % lc:
+                raise ValueError(
+                    f"label_chunk_triples={lc} must be a positive divisor "
+                    f"of the decoder scan chunk {c} (a power of two "
+                    f"<= {c}, e.g. 32/64/128), or 0 to disable")
     if isinstance(cfg, PretrainConfig):
         assert cfg.pretrain_mode in PRETRAIN_MODES, cfg.pretrain_mode

@@ -158,8 +158,9 @@ def build_kg_batch(
                     f"budget {budget} (must be a multiple of {edge_chunk})")
             pad = budget - e
             src = np.concatenate([src, np.zeros((pad,), np.int32)])
-            # padding edges keep dst=sentinel so even non-chunked consumers
-            # (HAN/RGCN read per-edge arrays) drop them via the mask
+            # padding edges carry dst=0 with mask=False; per-edge consumers
+            # (HAN/RGCN) drop them via the mask, the chunked HGT path via
+            # the edge_chunk_dst sentinel appended below
             dst = np.concatenate([dst, np.zeros((pad,), np.int32)])
             msk = np.concatenate([msk, np.zeros((pad,), bool)])
             chunk_dst = np.concatenate([

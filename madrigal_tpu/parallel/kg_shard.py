@@ -139,6 +139,16 @@ def make_sharded_kg_table_fn(model, mesh: Mesh, axis: str = "dp",
     encoder_attr: the model attribute holding the MadrigalEncoder
     ('encoder' for MadrigalMultilabel, 'base_encoder' for SimCLRModel).
     """
+    if model.enc_cfg.kg_encoder != "hgt":
+        # Only the HGT conv threads `shard_axis` into its segment
+        # reductions (psum/pmax across edge shards). HAN/RGCN would
+        # silently aggregate each device's partial graph and return wrong
+        # drug tables under shard_map(out_specs=P(), check_vma=False).
+        raise ValueError(
+            "graph-parallel KG sharding requires kg_encoder='hgt' "
+            f"(got '{model.enc_cfg.kg_encoder}': HAN/RGCN segment ops "
+            "do not merge across edge shards)"
+        )
     enc_cfg = dataclasses.replace(
         model.enc_cfg,
         hgt=dataclasses.replace(model.enc_cfg.hgt, shard_axis=axis),

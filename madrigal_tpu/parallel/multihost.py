@@ -63,28 +63,59 @@ def initialize(
             raise
 
 
+def _balanced_factors(n: int, k: int) -> list:
+    """Split n into k integer factors, product n, sorted ascending (so the
+    last factor is the largest). Greedy: assign each prime factor
+    (largest first) to the axis with the smallest running product."""
+    primes = []
+    d, m = 2, n
+    while d * d <= m:
+        while m % d == 0:
+            primes.append(d)
+            m //= d
+        d += 1
+    if m > 1:
+        primes.append(m)
+    factors = [1] * k
+    for p in sorted(primes, reverse=True):
+        factors[factors.index(min(factors))] *= p
+    return sorted(factors)
+
+
 def hybrid_mesh(
     axis_names: Sequence[str] = ("dp", "label"),
     dcn_axis: str = "dp",
+    ici_sizes: Optional[dict] = None,
 ) -> Mesh:
     """Device mesh spanning all processes: `dcn_axis` crosses hosts (DCN),
     every other axis stays within a host (ICI). The per-host device count
-    is split over the non-DCN axes as evenly as possible (last axis gets
-    the largest factor, matching the ICI-heavy 'label'/graph axes)."""
+    is split over the non-DCN axes as evenly as possible (the LAST axis
+    gets the largest factor, matching the ICI-heavy 'label'/graph axes);
+    pass `ici_sizes={axis: size}` to pin any ICI axis explicitly."""
     n_local = jax.local_device_count()
     n_proc = jax.process_count()
     others = [a for a in axis_names if a != dcn_axis]
     shape = {dcn_axis: n_proc}
-    rem = n_local
-    for a in others[:-1]:
-        shape[a] = 1
     if others:
-        shape[others[-1]] = rem
+        pinned = {a: s for a, s in (ici_sizes or {}).items() if a in others}
+        rem, free = n_local, [a for a in others if a not in pinned]
+        for a, s in pinned.items():
+            if rem % s:
+                raise ValueError(
+                    f"ici_sizes[{a!r}]={s} does not divide the per-host "
+                    f"device count {n_local} (given {pinned})")
+            rem //= s
+        if free:
+            for a, f in zip(free, _balanced_factors(rem, len(free))):
+                shape[a] = f
+        elif rem != 1:
+            raise ValueError(
+                f"ici_sizes {pinned} use only {n_local // rem} of "
+                f"{n_local} per-host devices")
+        shape.update(pinned)
     else:
         shape[dcn_axis] = n_proc * n_local
-        rem = 1
 
-    dims = [shape[a] for a in axis_names]
     devices = np.asarray(jax.devices())  # ordered process-major
     if others:
         mesh_arr = devices.reshape([n_proc] + [shape[a] for a in others])
@@ -95,7 +126,7 @@ def hybrid_mesh(
             mesh_arr, [src.index(a) for a in order], range(len(order))
         )
     else:
-        mesh_arr = devices.reshape(dims)
+        mesh_arr = devices.reshape([shape[a] for a in axis_names])
     return Mesh(mesh_arr, tuple(axis_names))
 
 

@@ -172,15 +172,19 @@ class FinetuneTrainer:
 
     # ------------------------------------------------------------------
     def _forward_loss(self, params, batch_stats, batch, kg, masks_head,
-                      masks_tail, weights, dropout_rng, chunk_labels=None):
+                      masks_tail, weights, dropout_rng, chunk_labels=None,
+                      kg_table=None):
         # batch/kg are jit ARGUMENTS, not closure captures: closure
         # constants are serialized into the compiled program, which at
         # reference scale (6843 drugs x 16 cell lines x 978 genes + 8.3M
-        # KG edges + ~1M triples) is gigabytes of baked-in literals
+        # KG edges + ~1M triples) is gigabytes of baked-in literals.
+        # kg_table: precomputed drug table passed as a differentiable
+        # argument (the split_share_kg_table seam; see _kg_table_pure).
         head = dataclasses.replace(batch.head, masks=masks_head)
         tail = dataclasses.replace(batch.tail, masks=masks_tail)
-        table = (None if self._kg_table_fn is None
-                 else self._kg_table_fn(params, kg))
+        table = kg_table if kg_table is not None else (
+            None if self._kg_table_fn is None
+            else self._kg_table_fn(params, kg))
         out, updates = self.model.apply(
             {"params": params, "batch_stats": batch_stats},
             head, tail, kg,
@@ -275,6 +279,21 @@ class FinetuneTrainer:
         return step
 
     # -- split-forward gradient accumulation ---------------------------
+    def _kg_table_pure(self, params, kg):
+        """The full-KG drug table as a pure function of params.
+
+        Exactly the table _forward_loss computes internally: through the
+        graph-parallel seam when one is installed, else a plain full-graph
+        apply. The KG encoders are dropout- and batch_stats-free, so this
+        needs no rngs and matches the in-forward computation bitwise.
+        """
+        if self._kg_table_fn is not None:
+            return self._kg_table_fn(params, kg)
+        return self.model.apply(
+            {"params": params}, kg,
+            method=lambda m, k: m.encoder.kg_drug_table(k, train=True),
+        )
+
     def _make_split_steps(self):
         """Per-forward value_and_grad + a gradient-apply step
         (cfg.split_forward_grads): gradient-of-sum == sum-of-gradients,
@@ -296,6 +315,37 @@ class FinetuneTrainer:
             return loss, grads, new_bs
 
         @jax.jit
+        def grad_step_tab(params, batch_stats, batch, kg, kg_table,
+                          masks_head, masks_tail, weights, rng,
+                          chunk_labels=None):
+            # table-as-argument forward: no KG message passing inside;
+            # returns the cotangent wrt the table alongside the (KG-zero)
+            # param gradients
+            def f(p, tab):
+                return fwd(p, batch_stats, batch, kg, masks_head,
+                           masks_tail, weights, rng, chunk_labels, tab)
+
+            (loss, new_bs), (g_p, g_tab) = jax.value_and_grad(
+                f, argnums=(0, 1), has_aux=True
+            )(params, kg_table)
+            return loss, g_p, g_tab, new_bs
+
+        @jax.jit
+        def table_fwd(params, kg):
+            return self._kg_table_pure(params, kg)
+
+        @jax.jit
+        def table_bwd(params, kg, table_bar):
+            # one KG backward for the summed cotangents: grads of
+            # <table(params), table_bar>. VJPs are linear in the
+            # cotangent, so this equals the fused step's CSE-shared KG
+            # backward with the accumulated per-forward cotangents.
+            def dot(p):
+                return jnp.vdot(self._kg_table_pure(p, kg), table_bar)
+
+            return jax.grad(dot)(params)
+
+        @jax.jit
         def accum(a, b):
             return jax.tree_util.tree_map(jnp.add, a, b)
 
@@ -312,12 +362,20 @@ class FinetuneTrainer:
                 epoch=state.epoch + 1,
             )
 
-        return grad_step, accum, apply_step
+        return {
+            "grad_step": grad_step,
+            "grad_step_tab": grad_step_tab,
+            "table_fwd": table_fwd,
+            "table_bwd": table_bwd,
+            "accum": accum,
+            "apply_step": apply_step,
+        }
 
     def _split_epoch(self, mh, mt, rng) -> Dict[str, float]:
         if self._split_steps is None:
             self._split_steps = self._make_split_steps()
-        grad_step, accum, apply_step = self._split_steps
+        steps = self._split_steps
+        accum = steps["accum"]
         rngs = jax.random.split(rng, 3)
         plan = []  # (name, masks_head, masks_tail, weights, rng)
         if self.masker.uses_three_way_loss:
@@ -328,17 +386,38 @@ class FinetuneTrainer:
         else:
             plan.append(("total", mh, mt, self.w_all, rngs[0]))
 
+        # sharing the KG pass only pays off across >1 forwards (a single
+        # forward already computes the table exactly once)
+        share = len(plan) > 1 and getattr(
+            self.cfg, "split_share_kg_table", True)
+
         losses: Dict[str, float] = {}
         grads = None
         bs = self.state.batch_stats
-        for name, h, t, w, r in plan:
-            loss, g, bs = grad_step(
-                self.state.params, bs, self.train_batch, self.kg,
-                h, t, w, r, self.chunk_labels,
-            )
-            losses[name] = loss
-            grads = g if grads is None else accum(grads, g)
-        self.state = apply_step(self.state, grads, bs)
+        if share:
+            table = steps["table_fwd"](self.state.params, self.kg)
+            table_bar = None
+            for name, h, t, w, r in plan:
+                loss, g, g_tab, bs = steps["grad_step_tab"](
+                    self.state.params, bs, self.train_batch, self.kg,
+                    table, h, t, w, r, self.chunk_labels,
+                )
+                losses[name] = loss
+                grads = g if grads is None else accum(grads, g)
+                table_bar = (g_tab if table_bar is None
+                             else steps["accum"](table_bar, g_tab))
+            kg_grads = steps["table_bwd"](
+                self.state.params, self.kg, table_bar)
+            grads = accum(grads, kg_grads)
+        else:
+            for name, h, t, w, r in plan:
+                loss, g, bs = steps["grad_step"](
+                    self.state.params, bs, self.train_batch, self.kg,
+                    h, t, w, r, self.chunk_labels,
+                )
+                losses[name] = loss
+                grads = g if grads is None else accum(grads, g)
+        self.state = steps["apply_step"](self.state, grads, bs)
         losses["total"] = sum(losses.values()) if len(plan) > 1 else (
             losses[plan[0][0]])
         return {k: float(v) for k, v in losses.items()}

@@ -1,0 +1,33 @@
+"""Per-backend persistent compile-cache setup.
+
+The JAX compilation cache stores AOT-compiled executables keyed by HLO,
+but CPU executables additionally bake in host machine features; loading a
+blob compiled under one backend/arch from another spams
+`cpu_aot_loader.cc` warnings and can SIGILL. Isolate each backend in its
+own subdirectory (``.jax_cache/<backend>``) so the CPU dryrun never sees
+axon/TPU-compiled blobs and vice versa.
+"""
+from __future__ import annotations
+
+import os
+
+
+def enable_compile_cache(root: str | None = None) -> str:
+    """Point the persistent compile cache at ``<root>/<backend>``.
+
+    Must run after any platform forcing (``jax_platforms``) so the
+    backend query reflects the platform the process will actually use.
+    Returns the cache path.
+    """
+    import jax
+
+    if root is None:
+        root = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__)))),
+            ".jax_cache",
+        )
+    path = os.path.join(root, jax.default_backend())
+    jax.config.update("jax_compilation_cache_dir", path)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    return path

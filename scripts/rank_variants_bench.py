@@ -8,13 +8,19 @@ Variants of the per-outcome [N, N] double-argsort (eval/ranks.py):
 
 Usage: python scripts/rank_variants_bench.py
 """
+import os
+import sys
 import time
 
 import numpy as np
 
 import jax
 
-jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from madrigal_tpu.utils.cache import enable_compile_cache
+
+enable_compile_cache()
 
 import jax.numpy as jnp
 from jax import lax

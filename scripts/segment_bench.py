@@ -24,7 +24,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(
 
 import jax
 
-jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+from madrigal_tpu.utils.cache import enable_compile_cache
+
+enable_compile_cache()
 
 import jax.numpy as jnp
 

@@ -26,11 +26,12 @@ jax.config.update("jax_platforms", "cpu")
 # float32 matmuls at full precision for parity against torch CPU
 jax.config.update("jax_default_matmul_precision", "highest")
 
-# persistent compilation cache: test-suite wall-clock is compile-dominated
+# persistent compilation cache: test-suite wall-clock is compile-dominated.
+# Per-backend subdir: CPU AOT blobs must not mix with axon/TPU ones.
 jax.config.update(
     "jax_compilation_cache_dir",
     os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                 ".jax_cache"),
+                 ".jax_cache", "cpu"),
 )
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 

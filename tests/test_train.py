@@ -390,6 +390,37 @@ def test_label_chunked_triples_match(data, mode):
                                    atol=3 * lr, rtol=0)
 
 
+def test_split_share_kg_table_matches_unshared(data):
+    """split_share_kg_table (one KG fwd + accumulated table cotangents +
+    one KG bwd per epoch) is numerics-identical to the unshared split
+    path that recomputes the KG pass inside every forward: the table is
+    a deterministic function of params (no dropout/batch_stats in the KG
+    encoders) and VJPs are linear in the cotangent."""
+    import dataclasses
+
+    ds, batch, kg = data
+    cfg = dataclasses.replace(
+        tiny_cfg(finetune_mode="str_random_sample"),
+        split_forward_grads=True, train_with_str_str=True)
+    t0 = FinetuneTrainer(cfg, batch, kg)  # share (default True)
+    t1 = FinetuneTrainer(
+        dataclasses.replace(cfg, split_share_kg_table=False), batch, kg)
+    for _ in range(3):
+        l0 = t0.train_epoch()
+        l1 = t1.train_epoch()
+        for k in l0:
+            assert abs(l0[k] - l1[k]) < 1e-5, (k, l0, l1)
+    # params only loosely: Adam's 1/sqrt(v) amplifies f32 reduction-order
+    # noise (vjp of summed cotangents vs summed vjps) on near-zero-
+    # gradient params up to O(lr) per step
+    lr = 3e-3
+    for (ka, a), (kb, b) in zip(
+            jax.tree_util.tree_leaves_with_path(t0.state.params),
+            jax.tree_util.tree_leaves_with_path(t1.state.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=3 * lr, rtol=0, err_msg=str(ka))
+
+
 @pytest.mark.parametrize("mode,with_ss", [("str_random_sample", False),
                                           ("str_random_sample", True),
                                           ("full_full", False)])
