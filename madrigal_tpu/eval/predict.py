@@ -212,6 +212,50 @@ def make_predictions(
     return np.asarray(jax.nn.sigmoid(logits))
 
 
+def ensemble_sigmoid_scores_all_pairs(
+    seeds,
+    label_chunk: int = 32,
+    out: Optional[np.ndarray] = None,
+    compute_dtype=jnp.float32,
+) -> np.ndarray:
+    """[L, N, N] sigmoid-mean ensemble of per-seed all-pairs scores
+    (reference predict.py:466-499 semantics, streamed per label chunk so
+    `out` may be an np.memmap).
+
+    seeds: sequence of (model, variables, z) per checkpoint; all seeds
+    must share L and N (the published 5-seed protocol retrains the same
+    architecture under different seeds).
+    """
+    w_syms = np.stack([decoder_weight(m, v) for m, v, _ in seeds])
+    zs = jnp.asarray(np.stack([np.asarray(z) for _, _, z in seeds]))
+    S, L = w_syms.shape[0], w_syms.shape[1]
+    n = zs.shape[1]
+    if out is None:
+        out = np.empty((L, n, n), np.float32)
+
+    @jax.jit
+    def chunk_mean(zs, ws):  # [S, n, d], [S, Lc, d, d] -> [Lc, n, n]
+        def per_seed(z, w):
+            zc = z.astype(compute_dtype)
+
+            def body(_, w_l):
+                zw = jnp.dot(zc, w_l.astype(compute_dtype),
+                             preferred_element_type=jnp.float32)
+                s = jnp.dot(zw.astype(compute_dtype), zc.T,
+                            preferred_element_type=jnp.float32)
+                return None, jax.nn.sigmoid(s)
+
+            _, s = jax.lax.scan(body, None, w)
+            return s
+
+        return jnp.mean(jax.vmap(per_seed)(zs, ws), axis=0)
+
+    for s in range(0, L, label_chunk):
+        e = min(s + label_chunk, L)
+        out[s:e] = np.asarray(chunk_mean(zs, jnp.asarray(w_syms[:, s:e])))
+    return out
+
+
 def ensemble_sigmoid_mean(
     score_sets: Iterable[np.ndarray], scores_are_logits: bool = True
 ) -> np.ndarray:

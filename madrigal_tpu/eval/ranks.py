@@ -132,18 +132,43 @@ def rank_tensor(
     return out
 
 
-def ensemble_normalized_ranks(rank_tensors) -> np.ndarray:
+@partial(jax.jit, static_argnames=("stable",))
+def normalized_rank_matrices(mats: jnp.ndarray,
+                             stable: bool = True) -> jnp.ndarray:
+    """Re-rank a chunk of [Lc, N, N] matrices (scan bounds peak memory at
+    one matrix's rank buffers); only the strict lower triangle is read."""
+
+    def body(_, m):
+        return None, normalized_rank_matrix(m, stable=stable)
+
+    _, out = jax.lax.scan(body, None, mats)
+    return out
+
+
+def ensemble_normalized_ranks(rank_tensors, out: Optional[np.ndarray] = None,
+                              chunk: int = 8,
+                              stable: bool = True) -> np.ndarray:
     """Multi-seed ensembling (reference generate_embeddings.ipynb cells
-    18-20): geometric mean of normalized ranks across seeds, then re-rank."""
+    18-20, predict.py:466-499): geometric mean of normalized ranks across
+    seed checkpoints, then re-rank.
+
+    Streams outcome chunks so `rank_tensors` may be np.memmaps of the
+    reference's 80 GB [L, N, N] artifacts (and `out` a w+ memmap); the
+    re-rank runs on device. Upper-triangle/diagonal entries are 0 in every
+    seed, so their gmean is 0 and the re-rank's lower-triangle read plus
+    symmetrization reproduces the reference layout exactly.
+    """
     from scipy.stats import gmean
 
-    stacked = np.stack([np.asarray(r) for r in rank_tensors])
-    g = gmean(stacked, axis=0)
-    L, n, _ = g.shape
-    out = np.empty_like(g)
-    for l in range(L):
-        # normalized_rank_matrix only reads the strict lower triangle
-        out[l] = np.asarray(normalized_rank_matrix(jnp.asarray(g[l])))
+    L, n, _ = rank_tensors[0].shape
+    if out is None:
+        out = np.empty((L, n, n), dtype=np.float32)
+    for s in range(0, L, chunk):
+        e = min(s + chunk, L)
+        stacked = np.stack([np.asarray(r[s:e]) for r in rank_tensors])
+        g = gmean(stacked, axis=0)
+        out[s:e] = np.asarray(
+            normalized_rank_matrices(jnp.asarray(g), stable=stable))
     return out
 
 

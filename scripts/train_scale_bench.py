@@ -30,6 +30,8 @@ import jax
 
 from madrigal_tpu.utils.cache import enable_compile_cache
 
+if "--platform_cpu" in sys.argv:  # smoke-testing only; must precede any
+    jax.config.update("jax_platforms", "cpu")  # backend initialization
 enable_compile_cache()
 
 import jax.numpy as jnp
@@ -111,7 +113,8 @@ def build_scale_data(n_drugs, n_labels, n_triples, scale, rng,
 
 
 def flagship_cfg(n_labels, mode, bf16=False, label_chunk=0,
-                 split=False, fusion_chunk=512):
+                 split=False, fusion_chunk=512, fusion_remat=True,
+                 remat_forwards=True, share_kg=True):
     cdt = "bfloat16" if bf16 else "float32"
     enc = EncoderConfig(
         feature_dim=128,
@@ -123,7 +126,7 @@ def flagship_cfg(n_labels, mode, bf16=False, label_chunk=0,
         transformer=FusionConfig(
             num_layers=2, att_heads=8, head_dim=256, ffn_dim=1024,
             dropout=0.2, actn="gelu", norm_first=True, agg="x-attn",
-            num_tx_bottlenecks=2, remat=True, compute_dtype=cdt,
+            num_tx_bottlenecks=2, remat=fusion_remat, compute_dtype=cdt,
         ),
         pos_emb_type="sinusoidal",
         fusion="transformer_uni_proj",
@@ -133,9 +136,86 @@ def flagship_cfg(n_labels, mode, bf16=False, label_chunk=0,
         model=ModelConfig(encoder=enc, prediction_dim=n_labels),
         optim=OptimizerConfig(),
         finetune_mode=mode, num_epochs=800, warmup_epochs=10, seed=0,
-        remat_forwards=True, label_chunk_triples=label_chunk,
-        split_forward_grads=split,
+        remat_forwards=remat_forwards, label_chunk_triples=label_chunk,
+        split_forward_grads=split, split_share_kg_table=share_kg,
     )
+
+
+def run_config(cfg, batch, kg, label, reps=3):
+    """Build a trainer, compile + time `reps` epochs; returns s/epoch."""
+    t0 = time.perf_counter()
+    trainer = FinetuneTrainer(cfg, batch, kg)
+    print(f"[{label}] init: {time.perf_counter() - t0:.0f} s", flush=True)
+    t0 = time.perf_counter()
+    losses = trainer.train_epoch()
+    print(f"[{label}] first epoch (incl. compile): "
+          f"{time.perf_counter() - t0:.0f} s loss={losses['total']:.4f}",
+          flush=True)
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        losses = trainer.train_epoch()  # loss float() reads = barrier
+    dt = (time.perf_counter() - t0) / reps
+    print(f"[{label}] {dt:.2f} s/epoch", flush=True)
+    return dt
+
+
+def sweep(kind, batch, kg, n_labels, reps=3):
+    """In-process config sweep (one process amortizes the ~450 s tunnel
+    warmup and the compile cache across configs). Safest configs first;
+    OOM/compile failures are caught and recorded."""
+    import gc
+
+    if kind == "full":
+        # full_full (1 forward): fusion_batch_chunk x fusion-remat x
+        # remat_forwards. Baseline r2: (512, remat, rf) = 3.61 s/epoch.
+        grid = [
+            ("fc512+frm+rf", dict(fusion_chunk=512)),
+            ("fc512+frm", dict(fusion_chunk=512, remat_forwards=False)),
+            ("fc1024+frm", dict(fusion_chunk=1024, remat_forwards=False)),
+            ("fc2048+frm", dict(fusion_chunk=2048, remat_forwards=False)),
+            ("fc0+frm", dict(fusion_chunk=0, remat_forwards=False)),
+            ("fc2048", dict(fusion_chunk=2048, fusion_remat=False,
+                            remat_forwards=False)),
+            ("fc0", dict(fusion_chunk=0, fusion_remat=False,
+                         remat_forwards=False)),
+        ]
+        mk = lambda kw: flagship_cfg(n_labels, "full_full", bf16=True,
+                                     label_chunk=64, **kw)
+    elif kind == "split":
+        # flagship 3-forward mode, split grads; r2 baseline (share off,
+        # fc512+frm+rf) = 7.27 s/epoch
+        grid = [
+            ("noshare+fc512+frm+rf", dict(share_kg=False)),
+            ("share+fc512+frm+rf", dict(share_kg=True)),
+            ("share+fc512+frm", dict(share_kg=True,
+                                     remat_forwards=False)),
+            ("share+fc2048+frm", dict(share_kg=True, fusion_chunk=2048,
+                                      remat_forwards=False)),
+            ("share+fc0+frm", dict(share_kg=True, fusion_chunk=0,
+                                   remat_forwards=False)),
+        ]
+        mk = lambda kw: flagship_cfg(
+            n_labels, "str_random_sample", bf16=True, label_chunk=64,
+            split=True, fusion_chunk=kw.pop("fusion_chunk", 512), **kw)
+    else:
+        raise ValueError(kind)
+
+    results = []
+    for label, kw in grid:
+        try:
+            dt = run_config(mk(dict(kw)), batch, kg, label, reps=reps)
+            results.append((label, dt))
+        except Exception as e:  # OOM / compile failure: record, continue
+            print(f"[{label}] FAILED: {type(e).__name__}: "
+                  f"{str(e)[:300]}", flush=True)
+            results.append((label, None))
+        gc.collect()
+        print("--- sweep so far:", flush=True)
+        for lbl, d in results:
+            print(f"    {lbl}: "
+                  f"{'FAIL' if d is None else '%.2f s/epoch' % d}",
+                  flush=True)
+    return results
 
 
 def main():
@@ -155,6 +235,21 @@ def main():
     ap.add_argument("--fusion_chunk", type=int, default=512,
                     help="drug-axis fusion chunk (bigger = less scan "
                          "serialization, more activation memory)")
+    ap.add_argument("--no_fusion_remat", action="store_true",
+                    help="disable transformer.remat (whole-fusion "
+                         "rematerialization)")
+    ap.add_argument("--no_remat_forwards", action="store_true",
+                    help="disable remat_forwards (per-forward "
+                         "rematerialization)")
+    ap.add_argument("--no_share_kg", action="store_true",
+                    help="split mode: recompute the KG pass per forward")
+    ap.add_argument("--sweep", type=str, default=None,
+                    choices=[None, "full", "split"],
+                    help="run the built-in config sweep instead of one "
+                         "config (amortizes tunnel warmup in-process)")
+    ap.add_argument("--platform_cpu", action="store_true",
+                    help="force the CPU backend (smoke tests; handled at "
+                         "import time)")
     args = ap.parse_args()
     scale = 16 if args.small else 1
     n_drugs = 6843 // scale
@@ -163,27 +258,17 @@ def main():
     rng = np.random.RandomState(0)
     batch, kg = build_scale_data(n_drugs, args.labels, n_triples, scale,
                                  rng, kg_chunk=args.kg_chunk)
+    if args.sweep:
+        sweep(args.sweep, batch, kg, args.labels)
+        return
     cfg = flagship_cfg(args.labels, args.mode, bf16=args.bf16,
-                   label_chunk=args.label_chunk,
-                   split=args.split,
-                   fusion_chunk=args.fusion_chunk)
-
-    t0 = time.perf_counter()
-    trainer = FinetuneTrainer(cfg, batch, kg)
-    print(f"init (traced+compiled init fns): {time.perf_counter()-t0:.0f} s")
-
-    t0 = time.perf_counter()
-    losses = trainer.train_epoch()
-    print(f"first epoch (incl. step compile): {time.perf_counter()-t0:.0f} s"
-          f" loss={losses['total']:.4f}")
-
-    reps = 5
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        losses = trainer.train_epoch()
-    # train_epoch reads losses back each call (device->host), which is the
-    # completion barrier
-    dt = (time.perf_counter() - t0) / reps
+                       label_chunk=args.label_chunk,
+                       split=args.split,
+                       fusion_chunk=args.fusion_chunk,
+                       fusion_remat=not args.no_fusion_remat,
+                       remat_forwards=not args.no_remat_forwards,
+                       share_kg=not args.no_share_kg)
+    dt = run_config(cfg, batch, kg, args.mode, reps=5)
     print(
         f"mode={args.mode}{' bf16' if args.bf16 else ''}"
         f"{' lc%d' % args.label_chunk if args.label_chunk else ''}"

@@ -113,6 +113,67 @@ def test_make_predictions_eval_types(setup):
     assert not np.allclose(p_full, p_str)
 
 
+def test_multi_seed_ensemble_cli(setup, tmp_path):
+    """The published multi-seed serving protocol end-to-end through the
+    CLI (reference generate_embeddings.ipynb cells 18-20,
+    predict.py:466-499): per-seed normalized-rank tensors -> gmean ->
+    re-rank, and sigmoid-mean score/triple ensembling."""
+    from madrigal_tpu.cli import predict as cli_predict
+    from madrigal_tpu.eval.ranks import ensemble_normalized_ranks
+    from madrigal_tpu.train.checkpoint import save_checkpoint
+
+    cfg, ds, coll, batch, kg, model, variables, path = setup
+    variables2 = init_multilabel(model, jax.random.PRNGKey(1), batch.head,
+                                 batch.tail, kg)
+    path2 = str(tmp_path / "m2")
+    save_checkpoint(path2, variables2["params"],
+                    variables2.get("batch_stats", {}), cfg, epoch=1)
+
+    data_flags = ["--synthetic", "--synthetic_drugs", "18",
+                  "--synthetic_labels", "6", "--synthetic_edges", "30",
+                  "--seed", "5", "--platform", "cpu"]
+    ranks_out = str(tmp_path / "ens_ranks.npy")
+    scores_out = str(tmp_path / "ens_scores.npy")
+    probs = cli_predict.main(
+        ["--checkpoint", path, path2, "--export_ranks", ranks_out,
+         "--export_scores", scores_out, "--keep_seed_ranks",
+         "--triples", "0:1:2", "--label_chunk", "4"] + data_flags)
+
+    # per-seed tensors are genuine normalized-rank tensors
+    seed_maps = [np.load(f"{ranks_out}.seed{i}.npy") for i in range(2)]
+    n = 18
+    tril = np.tri(n, k=-1, dtype=bool)
+    for r in seed_maps:
+        assert r.shape == (6, n, n)
+        np.testing.assert_allclose(r, r.transpose(0, 2, 1), atol=0)
+        assert (r[:, tril] > 0).all() and (r[:, tril] <= 1).all()
+        assert (np.diagonal(r, axis1=1, axis2=2) == 0).all()
+    assert not np.allclose(seed_maps[0], seed_maps[1])
+
+    # ensembled output == gmean + re-rank of the per-seed tensors
+    got = np.load(ranks_out)
+    expect = ensemble_normalized_ranks(seed_maps, chunk=3)
+    np.testing.assert_allclose(got, expect, atol=1e-6)
+    assert not np.allclose(got, seed_maps[0])
+
+    # score ensembling == sigmoid-mean of the per-seed raw score tensors
+    s_seed = []
+    for i, p in enumerate((path, path2)):
+        sp = str(tmp_path / f"raw{i}.npy")
+        cli_predict.main(["--checkpoint", p, "--export_scores", sp,
+                          "--label_chunk", "4"] + data_flags)
+        s_seed.append(np.load(sp))
+    sig = lambda x: 1 / (1 + np.exp(-x))
+    np.testing.assert_allclose(
+        np.load(scores_out), (sig(s_seed[0]) + sig(s_seed[1])) / 2,
+        atol=1e-5)
+
+    # triple query: sigmoid-mean probability of the per-seed logits
+    np.testing.assert_allclose(
+        probs[0], (sig(s_seed[0][0, 1, 2]) + sig(s_seed[1][0, 1, 2])) / 2,
+        atol=1e-4)
+
+
 def test_ensemble_sigmoid_mean(rng):
     a = rng.randn(10)
     b = rng.randn(10)
