@@ -79,16 +79,19 @@ def read_config(path: str) -> Tuple[Dict, Dict, Dict]:
 
 def generate_configs(experiment_config: Dict, seed: int = 0) -> List[Dict]:
     """Expand fixed/grid/random blocks into concrete config dicts."""
-    rng = _random.Random(seed)
     fixed = experiment_config.get("fixed", {})
     grid = experiment_config.get("grid", {})
-    rnd = experiment_config.get("random", {})
+    rnd = dict(experiment_config.get("random", {}))
 
     grid_keys = sorted(grid)
     grid_options = [_grid_values(grid[k]) for k in grid_keys]
     combos = list(itertools.product(*grid_options)) if grid_keys else [()]
 
     samples = int(rnd.pop("samples", 1)) if rnd else 1
+    # the random block's own meta keys (seml: `samples` + `seed`, e.g.
+    # chemcpa_tx_adapting_configs_sweep.yaml random.seed) are not specs
+    rnd_seed = rnd.pop("seed", None) if rnd else None
+    rng = _random.Random(seed if rnd_seed is None else rnd_seed)
     rnd_keys = sorted(rnd)
     rnd_draws = (
         [{k: _random_values(rnd[k], samples, rng)[i] for k in rnd_keys}

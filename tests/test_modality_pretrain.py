@@ -187,3 +187,103 @@ def test_chemcpa_r2_per_category(rng):
     out2 = evaluate_r2_per_category(tr, genes[:4], cov[:4], ctrl, cats[:4],
                                     min_count=5)
     assert np.isnan(out2["mean_score"])
+
+
+def test_chemcpa_sweep_mapping_real_yaml():
+    """sweep_config_to_trainer_args decodes the reference's real sweep
+    YAML hparam surface (chemcpa_tx_adapting_configs_sweep.yaml)."""
+    import os
+
+    from madrigal_tpu.train.chemcpa_sweep import sweep_config_to_trainer_args
+    from madrigal_tpu.utils.config_gen import generate_configs, read_config
+
+    path = "/root/reference/configs/chemcpa/chemcpa_tx_adapting_configs_sweep.yaml"
+    if not os.path.exists(path):
+        pytest.skip("reference configs unavailable")
+    _, _, experiment = read_config(path)
+    configs = generate_configs(experiment, seed=0)
+    assert len(configs) == 100  # random block: samples=100
+    cfg, tkw, rkw = sweep_config_to_trainer_args(configs[0])
+    assert cfg.dim == 128
+    assert cfg.autoencoder_width in (128, 256, 512)
+    assert cfg.autoencoder_depth in (2, 3, 4, 5)
+    assert cfg.dropout in (0.2, 0.3, 0.4, 0.5)
+    assert tkw["lr"] in (1e-3, 1e-4, 1e-5)
+    assert rkw["num_epochs"] == 300 and rkw["checkpoint_freq"] == 50
+    assert rkw["patience"] == 10 and rkw["batch_size"] == 4096
+    # the random block varies fields across samples
+    cfgs = [sweep_config_to_trainer_args(c)[0] for c in configs[:20]]
+    assert len({c.autoencoder_width for c in cfgs}) > 1
+
+
+def test_chemcpa_sweep_entry(tmp_path):
+    """Tiny-grid sweep end-to-end through the CLI: expansion, early-stop
+    loop, JSONL artifact, best-config selection + checkpoint."""
+    import json
+    import os
+
+    from madrigal_tpu.cli import chemcpa_sweep
+
+    yaml_text = """
+fixed:
+  training.num_epochs: 8
+  training.checkpoint_freq: 2
+  model.hparams.dim: 12
+  model.hparams.batch_size: 96
+  model.hparams.autoencoder_lr: 1e-3
+  model.additional_params.patience: 2
+  model.additional_params.seed: 0
+grid:
+  model.hparams.autoencoder_width:
+    type: choice
+    options: [24, 32]
+"""
+    sweep_yaml = tmp_path / "sweep.yaml"
+    sweep_yaml.write_text(yaml_text)
+    out = chemcpa_sweep.main([
+        "--sweep_yaml", str(sweep_yaml), "--synthetic",
+        "--synthetic_drugs", "24", "--platform", "cpu",
+        "--save_dir", str(tmp_path / "out"), "--epoch_cap", "6",
+    ])
+    assert len(out["results"]) == 2
+    assert out["best_index"] in (0, 1)
+    assert np.isfinite(out["best_r2"])
+    assert out["best_variables"] is not None
+    assert out["best_config"].autoencoder_width in (24, 32)
+
+    lines = [json.loads(l) for l in
+             open(tmp_path / "out" / "sweep_results.jsonl")]
+    summaries = [l["summary"] for l in lines if "summary" in l]
+    assert len(summaries) == 2
+    assert all(np.isfinite(s["best_r2"]) for s in summaries)
+    evals = [l for l in lines if "test_r2" in l]
+    assert len(evals) >= 2  # checkpoint_freq cadence fired
+    assert os.path.isdir(tmp_path / "out" / "tx_pretrained_best")
+
+
+def test_chemcpa_sweep_nan_and_early_stop(rng):
+    """train_one_config stops on NaN loss and on patience exhaustion."""
+    from madrigal_tpu.train.chemcpa_sweep import train_one_config
+
+    genes = rng.randn(64, 12).astype(np.float32)
+    cov = rng.randint(0, 2, 64)
+    cfg = ChemCPAConfig(num_genes=12, dim=8, autoencoder_width=16,
+                        autoencoder_depth=1, num_covariates=2,
+                        use_drugs=False)
+    # absurd lr -> NaN quickly
+    res = train_one_config(
+        cfg, {"lr": 1e12, "seed": 0}, 
+        {"num_epochs": 50, "checkpoint_freq": 5, "max_minutes": 10,
+         "batch_size": 64, "patience": 3},
+        genes, cov, genes[:16], cov[:16])
+    assert res["stop_reason"] in ("nan_loss", "nan_r2")
+    assert res["epochs_run"] < 50
+
+    # patience 0 -> stops at the second non-improving eval
+    res2 = train_one_config(
+        cfg, {"lr": 1e-9, "seed": 0},
+        {"num_epochs": 200, "checkpoint_freq": 1, "max_minutes": 10,
+         "batch_size": 64, "patience": 0},
+        genes, cov, genes[:16], cov[:16])
+    assert res2["stop_reason"] in ("early_stop", "max_epochs")
+    assert res2["epochs_run"] < 200
