@@ -132,3 +132,114 @@ def geomca(
         num_components=n_comp,
         components=comps,
     )
+
+
+def sparsify_point_set(points: np.ndarray, min_dist: float) -> np.ndarray:
+    """Geometric sparsification (GeomCA Def 3.1; the reference calls
+    gudhi.subsampling.sparsify_point_set, GeomCA.py:333-352): greedy scan
+    keeping each point only if it lies >= min_dist from every kept point.
+    cKDTree lookup keeps this O(n log n)-ish instead of O(n^2)."""
+    pts = np.asarray(points, np.float64).reshape(len(points), -1)
+    kept: list = []
+    tree = None
+    rebuild_every = 256
+    for i, p in enumerate(pts):
+        if not kept:
+            kept.append(i)
+            tree = None
+            continue
+        if tree is None or len(kept) % rebuild_every == 0:
+            tree = cKDTree(pts[kept])
+            n_tree = len(kept)
+        d, _ = tree.query(p, k=1)
+        ok = d >= min_dist
+        if ok and n_tree < len(kept):  # check points added since rebuild
+            tail = pts[kept[n_tree:]]
+            ok = np.linalg.norm(tail - p, axis=1).min() >= min_dist
+        if ok:
+            kept.append(i)
+    return pts[kept]
+
+
+def reduce_points(points: np.ndarray, mode: str = "sparsify",
+                  min_dist: float = 0.0, n_samples: Optional[int] = None,
+                  seed: int = 0) -> np.ndarray:
+    """Point reduction before analysis (reference sparsify_points,
+    GeomCA.py:284-331): 'sparsify' = geometric min-distance filtering,
+    'subsample' = random subsampling (with replacement, matching the
+    reference's np.random.choice default)."""
+    pts = np.asarray(points, np.float64).reshape(len(points), -1)
+    if mode == "sparsify":
+        return sparsify_point_set(pts, min_dist)
+    if mode == "subsample":
+        rng = np.random.RandomState(seed)
+        return pts[rng.choice(len(pts), n_samples)]
+    raise ValueError(mode)
+
+
+def geomca_logged(
+    R: np.ndarray,
+    E: np.ndarray,
+    log_dir: str,
+    prefix: str = "",
+    reduce: Optional[str] = None,
+    min_dist: float = 0.0,
+    n_samples: Optional[int] = None,
+    seed: int = 0,
+    **geomca_kwargs,
+) -> GeomCAResult:
+    """geomca + the reference's component-evolution logging artifacts
+    (GeomCA.py:197-248 log_components_stat / log_network_parameters /
+    log_network_stats / log_to_txt; JSON instead of pickle): writes
+    `<prefix>network_parameters.json`, `<prefix>network_stats.json`,
+    `<prefix>components_stats.json` (per-component size/consistency/
+    quality ordered largest-first) and a human-readable
+    `<prefix>geomca.txt`. `reduce` optionally sparsifies/subsamples both
+    point sets first (reduced sizes are logged)."""
+    import json
+    import os
+
+    os.makedirs(log_dir, exist_ok=True)
+    nR0, nE0 = len(R), len(E)
+    if reduce:
+        R = reduce_points(R, reduce, min_dist, n_samples, seed)
+        E = reduce_points(E, reduce, min_dist, n_samples, seed + 1)
+    res = geomca(R, E, **geomca_kwargs)
+
+    def dump(name, obj):
+        with open(os.path.join(log_dir, prefix + name), "w") as f:
+            json.dump(obj, f, indent=1)
+
+    dump("network_parameters.json", {
+        "epsilon": res.epsilon,
+        "reduce": reduce, "min_dist": min_dist, "n_samples": n_samples,
+        "num_R": len(R), "num_E": len(E),
+        "num_R_original": nR0, "num_E_original": nE0,
+        **{k: v for k, v in geomca_kwargs.items()
+           if isinstance(v, (int, float, str, bool, type(None)))},
+    })
+    dump("network_stats.json", {
+        "precision": res.precision, "recall": res.recall,
+        "network_consistency": res.network_consistency,
+        "network_quality": res.network_quality,
+        "num_components": res.num_components,
+    })
+    dump("components_stats.json", [
+        {"rank": rank, "num_R": len(c["Ridx"]), "num_E": len(c["Eidx"]),
+         "comp_consistency": c["comp_consistency"],
+         "comp_quality": c["comp_quality"]}
+        for rank, c in res.components.items()
+    ])
+    with open(os.path.join(log_dir, prefix + "geomca.txt"), "w") as f:
+        f.write(
+            f"epsilon: {res.epsilon:.6f}\n"
+            f"precision: {res.precision:.4f}\nrecall: {res.recall:.4f}\n"
+            f"network_consistency: {res.network_consistency:.4f}\n"
+            f"network_quality: {res.network_quality:.4f}\n"
+            f"num_components: {res.num_components}\n\n")
+        for rank, c in res.components.items():
+            f.write(f"component {rank}: |R|={len(c['Ridx'])} "
+                    f"|E|={len(c['Eidx'])} "
+                    f"consistency={c['comp_consistency']:.4f} "
+                    f"quality={c['comp_quality']:.4f}\n")
+    return res

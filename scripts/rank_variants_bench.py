@@ -132,7 +132,43 @@ def variant_g_searchsorted_u32(scores):
     return out + out.T
 
 
-def make_batched(k):
+@jax.jit
+def variant_h_scatter_unique(scores):
+    # one key+payload sort, then invert the permutation with a scatter
+    # declared unique + in-bounds (round-2 measured the GENERIC scatter
+    # at 614 ms total; the unique/in-bounds promise may unlock a faster
+    # XLA lowering)
+    n = scores.shape[0]
+    m = n * (n - 1) // 2
+    tril, vals = lower_tri_vals(scores)
+    keys = _f32_to_sortable_u32(vals)
+    iota = lax.iota(jnp.int32, vals.shape[0])
+    _, order = lax.sort((keys, iota), is_stable=False, num_keys=1)
+    inv = jnp.zeros_like(iota).at[order].set(
+        iota, unique_indices=True, mode="promise_in_bounds")
+    ranks = inv.astype(jnp.float32) + 1.0
+    out = jnp.where(tril, ranks.reshape(n, n) / m, 0.0)
+    return out + out.T
+
+
+@jax.jit
+def sort_values_only(scores):
+    # decomposition probe: a payload-free u32 sort (lower bound for any
+    # sort-based scheme's first pass)
+    _, vals = lower_tri_vals(scores)
+    return lax.sort(_f32_to_sortable_u32(vals), is_stable=False)
+
+
+@jax.jit
+def sort_key_payload_only(scores):
+    # decomposition probe: one (u32 key, i32 payload) sort
+    _, vals = lower_tri_vals(scores)
+    keys = _f32_to_sortable_u32(vals)
+    iota = lax.iota(jnp.int32, vals.shape[0])
+    return lax.sort((keys, iota), is_stable=False, num_keys=1)[1]
+
+
+def make_batched(k, u32=False):
     @jax.jit
     def variant_batched(scores_k):  # [K, N, N]
         n = scores_k.shape[1]
@@ -141,10 +177,11 @@ def make_batched(k):
         cols = lax.broadcasted_iota(jnp.int32, (n, n), 1)
         tril = rows > cols
         vals = jnp.where(tril[None], scores_k, jnp.inf).reshape(k, -1)
+        keys = _f32_to_sortable_u32(vals) if u32 else vals
         iota = jnp.broadcast_to(
             lax.iota(jnp.int32, vals.shape[1])[None], vals.shape
         )
-        _, order = lax.sort((vals, iota), dimension=1, is_stable=False,
+        _, order = lax.sort((keys, iota), dimension=1, is_stable=False,
                             num_keys=1)
         _, inv = lax.sort((order, iota), dimension=1, is_stable=False,
                           num_keys=1)
@@ -192,24 +229,40 @@ def main():
     # (min-rank on ties, vs the double-argsort's arbitrary positional tie
     # order)
     for name, fn in (("f", variant_f_searchsorted),
-                     ("g", variant_g_searchsorted_u32)):
+                     ("g", variant_g_searchsorted_u32),
+                     ("h", variant_h_scatter_unique)):
         np.testing.assert_allclose(np.asarray(fn(xs)), a, atol=1e-6,
                                    err_msg=name)
 
+    if "--check_only" in sys.argv:
+        print("correctness checks passed; skipping timing")
+        return
+
+    slow = () if "--include_searchsorted" in sys.argv else (
+        "f_searchsorted", "g_searchsorted_u32")
     for name, fn in (("a_stable_argsort", variant_a),
                      ("b_unstable_laxsort", variant_b),
                      ("c_mixed", variant_c),
                      ("d_u32_keys", variant_d_u32),
                      ("f_searchsorted", variant_f_searchsorted),
-                     ("g_searchsorted_u32", variant_g_searchsorted_u32)):
+                     ("g_searchsorted_u32", variant_g_searchsorted_u32),
+                     ("h_scatter_unique", variant_h_scatter_unique),
+                     ("probe_sort_values_only", sort_values_only),
+                     ("probe_sort_key_payload", sort_key_payload_only)):
+        if name in slow:
+            print(f"{name}: skipped (measured 70x slower in r2; "
+                  "--include_searchsorted to re-measure)")
+            continue
         dt = timeit(fn, x)
         print(f"{name}: {dt * 1e3:.1f} ms/outcome")
 
     for k in (2, 4):
-        fn = make_batched(k)
-        xk = jnp.asarray(rng.randn(k, N, N).astype(np.float32))
-        dt = timeit(fn, xk)
-        print(f"e_batched_k{k}: {dt * 1e3 / k:.1f} ms/outcome")
+        for u32 in (False, True):
+            fn = make_batched(k, u32=u32)
+            xk = jnp.asarray(rng.randn(k, N, N).astype(np.float32))
+            dt = timeit(fn, xk)
+            print(f"e_batched_k{k}{'_u32' if u32 else ''}: "
+                  f"{dt * 1e3 / k:.1f} ms/outcome")
 
 
 if __name__ == "__main__":

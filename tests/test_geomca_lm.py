@@ -38,6 +38,46 @@ def test_geomca_epsilon_estimate(rng):
     assert abs(eps - 2 * eps1) < 1e-9
 
 
+
+def test_geomca_sparsify_and_logging(rng, tmp_path):
+    """Reference GeomCA extras: geometric sparsification (Def 3.1) keeps
+    points >= min_dist apart; geomca_logged writes the component-stat /
+    network-stat / parameter artifacts (GeomCA.py:197-248)."""
+    import json
+
+    from madrigal_tpu.eval.geomca import (
+        geomca_logged,
+        reduce_points,
+        sparsify_point_set,
+    )
+
+    pts = rng.randn(200, 4)
+    sp = sparsify_point_set(pts, min_dist=1.5)
+    assert 1 < len(sp) < len(pts)
+    from scipy.spatial.distance import pdist
+
+    assert pdist(sp).min() >= 1.5
+    sub = reduce_points(pts, "subsample", n_samples=50, seed=0)
+    assert sub.shape == (50, 4)
+
+    R = rng.randn(80, 4)
+    E = R + 0.05 * rng.randn(80, 4)
+    res = geomca_logged(R, E, str(tmp_path), prefix="t_",
+                        reduce="subsample", n_samples=60, gamma=2.0)
+    for name in ("network_parameters.json", "network_stats.json",
+                 "components_stats.json", "geomca.txt"):
+        assert (tmp_path / ("t_" + name)).exists(), name
+    stats = json.load(open(tmp_path / "t_network_stats.json"))
+    assert stats["precision"] == res.precision
+    comps = json.load(open(tmp_path / "t_components_stats.json"))
+    assert len(comps) == res.num_components
+    # ordered largest-first
+    sizes = [c["num_R"] + c["num_E"] for c in comps]
+    assert sizes == sorted(sizes, reverse=True)
+    params = json.load(open(tmp_path / "t_network_parameters.json"))
+    assert params["num_R"] == 60 and params["num_R_original"] == 80
+
+
 @pytest.mark.parametrize("self_att", [True, False])
 def test_lm_decoder_forward(self_att, rng):
     model = LMDecoder(lm_emb_dim=32, drug_dim=16, project_dim=24,
