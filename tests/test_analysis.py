@@ -1,0 +1,129 @@
+"""Analysis-layer tests: tensor queries + enrichment statistics (the
+computational core of the reference's fig1-6 notebooks)."""
+import json
+
+import numpy as np
+import pytest
+
+from madrigal_tpu.analysis import (
+    aggregate_outcomes,
+    load_outcome_mapper,
+    map_outcome_labels,
+    pair_values,
+    rank_enrichment,
+    self_combo_scores,
+    topk_novel_pairs,
+)
+
+
+@pytest.fixture(scope="module")
+def rank_tensor():
+    """A genuine normalized-rank tensor built by the production path."""
+    import jax.numpy as jnp
+
+    from madrigal_tpu.eval.ranks import rank_tensor as build
+    from madrigal_tpu.models.decoder import symmetrize
+
+    rng = np.random.RandomState(3)
+    z = rng.randn(20, 8).astype(np.float32)
+    w = np.asarray(symmetrize(jnp.asarray(
+        rng.randn(5, 8, 8).astype(np.float32))))
+    return build(z, w, chunk=2)
+
+
+def test_self_combo_and_pair_values(rank_tensor):
+    t = rank_tensor
+    diag = self_combo_scores(t)
+    assert diag.shape == (5, 20)
+    assert (diag == 0).all()  # normalized ranks zero the diagonal
+
+    pairs = [(3, 1), (1, 3), (19, 0)]
+    vals = pair_values(t, pairs)
+    assert vals.shape == (5, 3)
+    np.testing.assert_allclose(vals[:, 0], vals[:, 1])  # symmetric lookup
+    np.testing.assert_allclose(vals[:, 0], t[:, 3, 1])
+    sub = pair_values(t, pairs, labels=[2, 4])
+    np.testing.assert_allclose(sub[0, 0], t[2, 3, 1], atol=0)
+    assert sub.shape == (2, 3)
+
+
+def test_aggregate_outcomes(rank_tensor):
+    t = rank_tensor
+    g = aggregate_outcomes(t, [0, 2], agg="gmean")
+    tril = np.tri(20, k=-1, dtype=bool)
+    np.testing.assert_allclose(
+        g[tril], np.sqrt(t[0][tril].astype(np.float64)
+                         * t[2][tril].astype(np.float64)), rtol=1e-12)
+    m = aggregate_outcomes(t, [0, 2], agg="mean")
+    np.testing.assert_allclose(m, (t[0].astype(np.float64)
+                                   + t[2]. astype(np.float64)) / 2)
+    x = aggregate_outcomes(t, [0, 2], agg="max")
+    np.testing.assert_allclose(x, np.maximum(t[0], t[2]))
+    with pytest.raises(ValueError):
+        aggregate_outcomes(t, [])
+
+
+def test_topk_novel_pairs(rank_tensor):
+    mat = rank_tensor[1]
+    pairs, vals = topk_novel_pairs(mat, 5)
+    assert pairs.shape == (5, 2) and (pairs[:, 0] > pairs[:, 1]).all()
+    assert (np.diff(vals) <= 0).all()  # descending
+    # the global max over the strict lower triangle is returned first
+    tril = np.tri(20, k=-1, dtype=bool)
+    assert vals[0] == mat[tril].max()
+
+    # exclusion: mask out the top pair -> it disappears
+    known = np.zeros((20, 20), bool)
+    known[pairs[0, 0], pairs[0, 1]] = True
+    p2, v2 = topk_novel_pairs(mat, 5, known_mask=known)
+    assert not ((p2 == pairs[0]).all(axis=1)).any()
+    assert v2[0] == mat[tril & ~(known | known.T)].max()
+
+    # smallest-first
+    p3, v3 = topk_novel_pairs(mat, 3, largest=False)
+    assert (np.diff(v3) >= 0).all()
+    assert v3[0] == mat[tril].min()
+
+
+def test_rank_enrichment(rank_tensor):
+    mat = np.asarray(rank_tensor[0], np.float64)
+    tril = np.tri(20, k=-1, dtype=bool)
+    # candidates = the top-10 ranked pairs -> strong enrichment
+    pairs, _ = topk_novel_pairs(mat, 10)
+    res = rank_enrichment(mat, pairs, alternative="greater")
+    assert res.pvalue < 1e-4
+    # order-insensitive pair spec
+    res_swapped = rank_enrichment(mat, pairs[:, ::-1],
+                                  alternative="greater")
+    assert res_swapped.pvalue == res.pvalue
+    # random candidates -> not significant
+    rng = np.random.RandomState(0)
+    rand = np.stack(np.nonzero(tril), axis=1)
+    rand = rand[rng.choice(len(rand), 10, replace=False)]
+    res_rand = rank_enrichment(mat, rand, alternative="greater")
+    assert res_rand.pvalue > 1e-3
+    # explicit background
+    res_bg = rank_enrichment(mat, pairs, background_pairs=rand,
+                             alternative="greater")
+    assert res_bg.pvalue < 0.05
+
+
+def test_outcome_mapper(tmp_path):
+    mapper = {"neutropenia": {"drugbank": ["neutropenia, increase"],
+                              "twosides": ["Neutropenia", "Leukopenia"]}}
+    p = tmp_path / "mapper.json"
+    p.write_text(json.dumps(mapper))
+    m = load_outcome_mapper(str(p))
+    labels = ["headache", "neutropenia", "leukopenia", "nausea"]
+    idx = map_outcome_labels(m, "neutropenia", "twosides", labels)
+    assert idx == [1, 2]
+    assert map_outcome_labels(m, "neutropenia", "drugbank", labels) == []
+
+    # the real reference mapper parses when available
+    import os
+
+    real = "/root/reference/notebooks/outcome_mapper.json"
+    if os.path.exists(real):
+        rm = load_outcome_mapper(real)
+        assert "neutropenia" in rm
+        assert isinstance(rm["neutropenia"]["twosides"], list)
