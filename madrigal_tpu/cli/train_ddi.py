@@ -67,6 +67,26 @@ def build_parser() -> argparse.ArgumentParser:
                         "step (numerics-identical; needed at reference "
                         "scale where the fused program exhausts the XLA "
                         "compiler)")
+    p.add_argument("--no_share_kg", action="store_true",
+                   help="with --split_forwards: recompute the full-KG "
+                        "pass inside every forward instead of sharing "
+                        "one table + accumulated cotangents (debugging "
+                        "only; sharing is numerics-identical and faster)")
+    p.add_argument("--fusion_chunk", type=int, default=None,
+                   help="drug-axis fusion-transformer chunk (exact; "
+                        "bounds the latent activation footprint for "
+                        "full-batch training -- 512 at reference scale; "
+                        "unset = whole batch in one fusion call)")
+    p.add_argument("--fusion_remat", action="store_true",
+                   help="rematerialize the fusion transformer in the "
+                        "backward (with --fusion_chunk: the full-batch "
+                        "memory recipe at reference scale)")
+    p.add_argument("--remat_forwards", action="store_true",
+                   help="rematerialize each whole forward in the "
+                        "backward. Costs ~a full forward recompute per "
+                        "epoch (measured 3.00 -> 3.64 s at reference "
+                        "scale); only needed when activations of ALL "
+                        "forwards exceed HBM even with --fusion_remat")
     return p
 
 
@@ -147,9 +167,18 @@ def main(argv=None):
         v = getattr(args, field)
         if v is not None:
             cfg = dataclasses.replace(cfg, **{field: v})
+    enc_over = cfg.model.encoder
+    if args.fusion_chunk is not None:
+        enc_over = dataclasses.replace(
+            enc_over, fusion_batch_chunk=args.fusion_chunk or None)
+    if args.fusion_remat:
+        enc_over = dataclasses.replace(
+            enc_over, transformer=dataclasses.replace(
+                enc_over.transformer, remat=True))
     cfg = dataclasses.replace(
         cfg,
-        model=dataclasses.replace(cfg.model, prediction_dim=ds.num_labels),
+        model=dataclasses.replace(cfg.model, prediction_dim=ds.num_labels,
+                                  encoder=enc_over),
         train_with_str_str=args.train_with_str_str,
         frozen=args.frozen or cfg.frozen,
         # explicit flag wins; else a config-file label_chunk_triples; else
@@ -157,6 +186,9 @@ def main(argv=None):
         label_chunk_triples=(args.label_chunk if args.label_chunk is not None
                              else (cfg.label_chunk_triples or 64)),
         split_forward_grads=args.split_forwards or cfg.split_forward_grads,
+        split_share_kg_table=(not args.no_share_kg
+                              and cfg.split_share_kg_table),
+        remat_forwards=args.remat_forwards or cfg.remat_forwards,
     )
     config_lib.validate(cfg)
     logger.info(f"config:\n{config_lib.dumps(cfg)}")
