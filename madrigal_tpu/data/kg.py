@@ -78,6 +78,15 @@ class HeteroKGBatch:
     # n_dst for all-padding chunks). Empty dict otherwise.
     edge_chunk_dst: Dict[str, jnp.ndarray] = dataclasses.field(
         default_factory=dict)
+    # source-transpose arenas (backward-pass layout; see ops/gather.py):
+    # edge_src_perm[k]: [P] int32 positions into the edge axis grouped by
+    #   source node, runs padded to edge_chunk (sentinel = edge budget E);
+    # edge_src_chunk[k]: [P / edge_chunk] int32 source node of each chunk
+    #   (sentinel n_src). Empty dicts unless built with src_arena=True.
+    edge_src_perm: Dict[str, jnp.ndarray] = dataclasses.field(
+        default_factory=dict)
+    edge_src_chunk: Dict[str, jnp.ndarray] = dataclasses.field(
+        default_factory=dict)
 
     def num_nodes(self, node_type: str) -> int:
         return self.node_feats[node_type].shape[0]
@@ -116,6 +125,46 @@ def _chunked_edge_arena(ei: np.ndarray, chunk: int):
     return src, dst, msk, chunk_dst
 
 
+def _src_transpose_arena(src: np.ndarray, msk: np.ndarray, chunk: int,
+                         pad_multiple: int):
+    """Backward-pass layout for one edge type (ops/gather.py gather_rows).
+
+    Groups the REAL edge positions by source node (stable argsort of the
+    final arena's src column), pads each source's run to a multiple of
+    `chunk` with the sentinel position E (which reads an appended zero
+    cotangent row), and pads the whole arena to a static budget. Returns
+    (perm [P], chunk_src [P // chunk]).
+    """
+    e_budget = src.shape[0]
+    pos = np.nonzero(msk)[0].astype(np.int32)
+    mult = int(np.lcm(pad_multiple, chunk))
+    if pos.shape[0] == 0:
+        return (np.full((mult,), e_budget, np.int32),
+                np.full((mult // chunk,), np.iinfo(np.int32).max, np.int32))
+    s = src[pos]
+    order = np.argsort(s, kind="stable")
+    pos, s = pos[order], s[order]
+    uniq, counts = np.unique(s, return_counts=True)
+    padded = ((counts + chunk - 1) // chunk) * chunk
+    total = int(padded.sum())
+    perm = np.full((total,), e_budget, np.int32)
+    run_starts = np.concatenate([[0], np.cumsum(padded)[:-1]])
+    in_starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    ppos = (np.arange(pos.shape[0]) - np.repeat(in_starts, counts)
+            + np.repeat(run_starts, counts))
+    perm[ppos] = pos
+    chunk_src = np.repeat(uniq.astype(np.int32), padded // chunk)
+    budget = max(((total + mult - 1) // mult) * mult, mult)
+    perm = np.concatenate(
+        [perm, np.full((budget - total,), e_budget, np.int32)])
+    chunk_src = np.concatenate([
+        chunk_src,
+        np.full(((budget - total) // chunk,), np.iinfo(np.int32).max,
+                np.int32),
+    ])
+    return perm, chunk_src
+
+
 def build_kg_batch(
     node_feats: Dict[str, np.ndarray],
     edge_indices: Dict[EdgeType, np.ndarray],  # [2, E] per canonical triple
@@ -124,6 +173,7 @@ def build_kg_batch(
     edge_budgets: Dict[str, int] | None = None,
     sort_edges: bool = False,
     edge_chunk: int = 0,
+    src_arena: bool | None = None,
 ) -> HeteroKGBatch:
     """Assemble a padded HeteroKGBatch from host arrays.
 
@@ -132,15 +182,22 @@ def build_kg_batch(
     indices_are_sorted=True.
 
     edge_chunk: > 0 selects the degree-chunked layout (see KGMetadata);
-    8 is a good TPU default. Implies dst-sorted arenas."""
+    8 is a good TPU default. Implies dst-sorted arenas.
+
+    src_arena: also build the source-transpose (backward-pass) arenas so
+    the HGT's src gathers backprop without unsorted row scatters
+    (ops/gather.py). Default: on whenever edge_chunk > 0."""
     metadata = KGMetadata(
         node_types=tuple(sorted(node_feats)),
         edge_types=tuple(sorted(edge_indices)),
         edges_sorted=sort_edges or edge_chunk > 0,
         edge_chunk=edge_chunk,
     )
+    if src_arena is None:
+        src_arena = edge_chunk > 0
     n_nodes = {k: np.asarray(v).shape[0] for k, v in node_feats.items()}
     src_d, dst_d, mask_d, cdst_d = {}, {}, {}, {}
+    sperm_d, schunk_d = {}, {}
     for et, ei in edge_indices.items():
         k = edge_key(et)
         ei = np.asarray(ei)
@@ -170,6 +227,11 @@ def build_kg_batch(
             src_d[k], dst_d[k], mask_d[k] = (
                 jnp.asarray(src), jnp.asarray(dst), jnp.asarray(msk))
             cdst_d[k] = jnp.asarray(chunk_dst)
+            if src_arena:
+                perm, chunk_src = _src_transpose_arena(
+                    src, msk, edge_chunk, pad_multiple)
+                sperm_d[k] = jnp.asarray(perm)
+                schunk_d[k] = jnp.asarray(chunk_src)
             continue
         if sort_edges and ei.shape[1]:
             order = np.argsort(ei[1], kind="stable")
@@ -197,6 +259,8 @@ def build_kg_batch(
         drug_index_map=jnp.asarray(np.asarray(drug_ids, np.int32)),
         metadata=metadata,
         edge_chunk_dst=cdst_d,
+        edge_src_perm=sperm_d,
+        edge_src_chunk=schunk_d,
     )
 
 

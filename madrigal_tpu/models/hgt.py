@@ -34,12 +34,23 @@ import jax.numpy as jnp
 
 from ..config import HGTConfig
 from ..data.kg import HeteroKGBatch, edge_key
+from ..ops.gather import gather_rows
 from ..ops.segment import (
     chunked_segment_softmax,
     chunked_segment_sum,
     segment_softmax,
     segment_sum,
 )
+
+
+def _src_gather(table, src, src_perm, src_chunk, chunk: int):
+    """Gather node rows by edge source; when the batch carries a
+    source-transpose arena, route the backward through the sorted-chunk
+    scatter (ops/gather.py -- unsorted [E]-row scatters run ~5x slower
+    than gathers on TPU)."""
+    if src_perm is None:
+        return table[src]
+    return gather_rows(table, src, src_perm, src_chunk, chunk)
 
 
 def _casters(compute_dtype):
@@ -96,7 +107,8 @@ def _edge_type_messages(q_dst, k_src, v_src, k_rel, v_rel, p_rel,
 
 
 def _edge_type_messages_chunked(q_dst, k_src, v_src, k_rel, v_rel, p_rel,
-                                src, mask, chunk_dst, n_dst: int,
+                                src, mask, chunk_dst, src_perm, src_chunk,
+                                n_dst: int,
                                 chunk: int, axis_name=None,
                                 indices_are_sorted: bool = True,
                                 compute_dtype=jnp.float32):
@@ -112,7 +124,8 @@ def _edge_type_messages_chunked(q_dst, k_src, v_src, k_rel, v_rel, p_rel,
     v_s = jnp.einsum("nhd,hde->nhe", cast(v_src), cast(v_rel))
     q_chunk = cast(q_dst)[chunk_dst]  # [E/c, H, D] (clamped sentinel
     # rows are garbage but fully masked below)
-    k_g = k_s[src].reshape(-1, chunk, H, D)
+    k_g = _src_gather(k_s, src, src_perm, src_chunk,
+                      chunk).reshape(-1, chunk, H, D)
     logits = (
         jnp.sum(up(q_chunk[:, None] * k_g), axis=-1)
         .reshape(-1, H)
@@ -122,7 +135,8 @@ def _edge_type_messages_chunked(q_dst, k_src, v_src, k_rel, v_rel, p_rel,
     alpha = chunked_segment_softmax(
         logits, mask, chunk_dst, n_dst, chunk, axis_name=axis_name,
         indices_are_sorted=indices_are_sorted)
-    msg = v_s[src] * cast(alpha)[..., None]  # [E, H, D]
+    msg = (_src_gather(v_s, src, src_perm, src_chunk, chunk)
+           * cast(alpha)[..., None])  # [E, H, D]
     return chunked_segment_sum(
         up(msg), chunk_dst, n_dst, chunk,
         axis_name=axis_name, indices_are_sorted=indices_are_sorted,
@@ -155,7 +169,7 @@ class HGTConv(nn.Module):
             edge_fn = jax.checkpoint(_edge_type_messages,
                                      static_argnums=(9, 10, 11, 12))
             edge_fn_c = jax.checkpoint(_edge_type_messages_chunked,
-                                       static_argnums=(9, 10, 11, 12, 13))
+                                       static_argnums=(11, 12, 13, 14, 15))
 
         k_dict, q_dict, v_dict = {}, {}, {}
         for nt in g.metadata.node_types:
@@ -187,6 +201,12 @@ class HGTConv(nn.Module):
             dst = g.edge_dst[ek]
             mask = g.edge_mask[ek]
             n_dst = g.num_nodes(dst_t)
+            # source-transpose arenas index the GLOBAL edge axis, so they
+            # are unusable when the edge axis is sharded over a mesh axis
+            sperm = (g.edge_src_perm.get(ek)
+                     if self.shard_axis is None else None)
+            schunk = (g.edge_src_chunk.get(ek)
+                      if self.shard_axis is None else None)
 
             if self.softmax_scope == "global":
                 # global scope must hold every type's logits/values until
@@ -198,7 +218,8 @@ class HGTConv(nn.Module):
                 if chunk > 0:
                     chunk_dst = g.edge_chunk_dst[ek]
                     q_chunk = cast(q_dict[dst_t])[chunk_dst]
-                    k_g = k_s[src].reshape(-1, chunk, H, D)
+                    k_g = _src_gather(k_s, src, sperm, schunk,
+                                      chunk).reshape(-1, chunk, H, D)
                     logits = (
                         jnp.sum(up(q_chunk[:, None] * k_g), axis=-1)
                         .reshape(-1, H)
@@ -206,7 +227,8 @@ class HGTConv(nn.Module):
                         / jnp.sqrt(jnp.asarray(D, jnp.float32))
                     )  # [E, H]
                     pending[dst_t].append(
-                        (logits, v_s[src], chunk_dst, mask))
+                        (logits, _src_gather(v_s, src, sperm, schunk, chunk),
+                         chunk_dst, mask))
                     continue
                 dst_safe = jnp.where(mask, dst, n_dst)
                 logits = (
@@ -230,6 +252,7 @@ class HGTConv(nn.Module):
                 out = edge_fn_c(
                     q_dict[dst_t], k_dict[src_t], v_dict[src_t],
                     k_rel, v_rel, p_rel, src, mask, chunk_dst,
+                    sperm, schunk,
                     n_dst, chunk, self.shard_axis, True, cdt,
                 )
             else:

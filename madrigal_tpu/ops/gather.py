@@ -1,0 +1,72 @@
+"""Row gathers with a sorted-transpose backward.
+
+On TPU the transpose of a row gather `table[idx]` is a scatter-add over
+[E] rows -- and unsorted row scatters run at ~32 GB/s vs ~152 GB/s for
+gathers and ~254 GB/s for streaming writes (scripts/segment_bench.py).
+The HGT's src-side gathers (`k_s[src]`, `v_s[src]`,
+models/hgt.py:_edge_type_messages_chunked) therefore pay most of their
+cost in the BACKWARD pass, where XLA emits exactly that scatter.
+
+`gather_rows` keeps the forward gather but replaces the backward scatter
+with the same degree-chunked (ELL) trick that fixed the forward
+aggregation (data/kg.py `_chunked_edge_arena`): the host precomputes a
+permutation of the edge axis sorted by source node, padded so each
+source's run fills whole chunks. The backward then
+
+  1. permutation-GATHERS the cotangent rows into src-sorted order
+     (gathers are ~5x faster than unsorted scatters),
+  2. reduces each aligned chunk with a streaming reshape-sum,
+  3. scatter-adds only [P/chunk] rows with sorted indices.
+
+Numerics: the same additions in a different order (bitwise-equal in the
+common case of disjoint index sets per chunk; otherwise within one f32
+ulp-reassociation -- tests/test_hgt.py pins f64 agreement).
+
+No reference counterpart: the reference's torch-scatter backward runs on
+CUDA where atomics make unsorted scatters cheap; this file exists because
+TPU scatters are row-rate-bound (CLAUDE.md measured facts).
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .segment import chunked_segment_sum
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(4,))
+def gather_rows(table, idx, bwd_perm, bwd_chunk_ids, chunk: int):
+    """`table[idx]` with a sorted-transpose backward.
+
+    Args:
+      table: [N, ...] differentiable row table.
+      idx: [E] int32 row indices (may repeat; padding rows allowed as long
+        as their cotangents are zero, e.g. masked-out edges).
+      bwd_perm: [P] int32 positions into the E axis, grouped by `idx`
+        value with each group's run padded to a multiple of `chunk`
+        (padding -> sentinel E, which reads an appended zero row).
+      bwd_chunk_ids: [P // chunk] int32 table row of each aligned chunk
+        (sentinel >= N for all-padding chunks).
+      chunk: static chunk width (matches the KG arenas' edge_chunk).
+    """
+    return table[idx]
+
+
+def _gather_rows_fwd(table, idx, bwd_perm, bwd_chunk_ids, chunk):
+    return table[idx], (table.shape[0], idx, bwd_perm, bwd_chunk_ids)
+
+
+def _gather_rows_bwd(chunk, res, cot):
+    n, idx, bwd_perm, bwd_chunk_ids = res
+    zero = jnp.zeros((1,) + cot.shape[1:], cot.dtype)
+    cot_sorted = jnp.concatenate([cot, zero], axis=0)[bwd_perm]
+    grad = chunked_segment_sum(cot_sorted, bwd_chunk_ids, n, chunk,
+                               indices_are_sorted=True)
+    f0 = lambda x: np.zeros(x.shape, jax.dtypes.float0)
+    return grad, f0(idx), f0(bwd_perm), f0(bwd_chunk_ids)
+
+
+gather_rows.defvjp(_gather_rows_fwd, _gather_rows_bwd)

@@ -29,6 +29,16 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..data.kg import HeteroKGBatch
 
 
+def strip_src_arenas(kg: HeteroKGBatch) -> HeteroKGBatch:
+    """Drop the source-transpose (backward) arenas before sharding: they
+    index the GLOBAL edge axis, which no longer exists once edges are
+    split over a mesh axis (the HGT falls back to the plain gather whose
+    transpose shard_map handles locally)."""
+    if kg.edge_src_perm or kg.edge_src_chunk:
+        return dataclasses.replace(kg, edge_src_perm={}, edge_src_chunk={})
+    return kg
+
+
 def pad_kg_edges_to_multiple(kg: HeteroKGBatch, m: int) -> HeteroKGBatch:
     """Re-pad every edge type's arrays so each device shard is non-ragged.
 
@@ -36,8 +46,10 @@ def pad_kg_edges_to_multiple(kg: HeteroKGBatch, m: int) -> HeteroKGBatch:
     layout (metadata.edge_chunk > 0): pad to a multiple of chunk*m so
     shard boundaries stay chunk-aligned, and extend edge_chunk_dst with
     the drop sentinel. Padding entries carry src=dst=0 with mask=False;
-    the segment ops drop them, so numerics are unchanged.
+    the segment ops drop them, so numerics are unchanged. Also strips the
+    source-transpose arenas (see strip_src_arenas).
     """
+    kg = strip_src_arenas(kg)
     chunk = kg.metadata.edge_chunk
     unit = m * max(chunk, 1)
     if unit <= 1:
@@ -90,6 +102,7 @@ def kg_partition_specs(kg: HeteroKGBatch, axis: str) -> HeteroKGBatch:
 def device_put_kg_sharded(kg: HeteroKGBatch, mesh: Mesh,
                           axis: str) -> HeteroKGBatch:
     """Place a (pre-padded) KG batch with edges sharded over `axis`."""
+    kg = strip_src_arenas(kg)
     specs = kg_partition_specs(kg, axis)
     return jax.tree_util.tree_map(
         lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), kg, specs
@@ -114,6 +127,7 @@ def sharded_kg_apply(
     shard_map = jax.shard_map
 
     def wrapped(variables, kg):
+        kg = strip_src_arenas(kg)
         specs = kg_partition_specs(kg, axis)
         fn = shard_map(
             apply_fn,

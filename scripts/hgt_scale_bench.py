@@ -3,7 +3,12 @@ attention-softmax scopes (per-edge-type = PyG <=2.2 semantics, global =
 PyG 2.3 semantics). The full-graph message pass runs once per train step
 (shared drug table), so this is the encoder-side step-time anchor.
 
-Usage: python scripts/hgt_scale_bench.py [--small]
+`--bwd` instead times value_and_grad of a scalar loss over the drug
+table, A/B-ing the source-transpose backward arenas (ops/gather.py):
+src_arena=True routes the src-gather transposes through sorted-chunk
+scatters; False leaves XLA's unsorted [E]-row scatter-adds.
+
+Usage: python scripts/hgt_scale_bench.py [--small] [--bwd]
 """
 import argparse
 import os
@@ -16,6 +21,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))))
 
 import jax
+
+if "--platform_cpu" in sys.argv:
+    jax.config.update("jax_platforms", "cpu")
 
 from madrigal_tpu.utils.cache import enable_compile_cache
 
@@ -54,10 +62,53 @@ EDGE_SPEC = [
 ]
 
 
+def bwd_bench(node_feats, edges, drug_ids):
+    """fwd+bwd A/B of the source-transpose backward (ops/gather.py)."""
+    variants = [
+        ("chunk8+src_arena",
+         build_kg_batch(node_feats, edges, drug_ids=drug_ids, edge_chunk=8)),
+        ("chunk8_plain",
+         build_kg_batch(node_feats, edges, drug_ids=drug_ids, edge_chunk=8,
+                        src_arena=False)),
+    ]
+    for scope, dtype in (("per_edge_type", "float32"),
+                         ("per_edge_type", "bfloat16"),
+                         ("global", "float32")):
+        for vname, kg in variants:
+            cfg = HGTConfig(hidden_dim=128, num_layers=2, att_heads=4,
+                            softmax_scope=scope, compute_dtype=dtype)
+            model = HGTEncoder(cfg=cfg, embed_dim=128, drug_only_head=True)
+            variables = jax.jit(
+                lambda: model.init(jax.random.PRNGKey(0), kg, train=False)
+            )()
+
+            def loss(v, g):
+                return jnp.sum(model.apply(v, g, train=False)["drug"] ** 2)
+
+            step = jax.jit(jax.value_and_grad(loss))
+            t0 = time.perf_counter()
+            val, grads = step(variables, kg)
+            float(val)  # compile + completion read
+            compile_s = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            reps = 3
+            for _ in range(reps):
+                val, grads = step(variables, kg)
+            float(val)
+            dt = (time.perf_counter() - t0) / reps
+            print(f"scope={scope} dtype={dtype} {vname}: "
+                  f"{dt * 1e3:.0f} ms/fwd+bwd "
+                  f"(first call incl. compile {compile_s:.0f} s)")
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--small", action="store_true",
                     help="1/16-scale sanity run")
+    ap.add_argument("--bwd", action="store_true",
+                    help="time fwd+bwd, A/B the src-transpose backward")
+    ap.add_argument("--platform_cpu", action="store_true",
+                    help="force the CPU backend (sanity runs)")
     args = ap.parse_args()
     scale = 16 if args.small else 1
 
@@ -78,6 +129,9 @@ def main():
     print(f"KG: {total_n} nodes, {total_e} edges, {len(edges)} edge types")
 
     drug_ids = np.arange(node_feats["drug"].shape[0])
+    if args.bwd:
+        bwd_bench(node_feats, edges, drug_ids)
+        return
     variants = [
         ("unsorted", build_kg_batch(node_feats, edges, drug_ids=drug_ids)),
         ("chunked8", build_kg_batch(node_feats, edges, drug_ids=drug_ids,

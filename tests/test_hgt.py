@@ -496,3 +496,78 @@ def test_hgt_chunked_matches_unchunked(rng):
     o_b = np.asarray(m_b.apply(v, kg_c, train=False)["drug"])
     scale = np.abs(np.asarray(o_0)).max()
     assert np.abs(o_b - np.asarray(o_0)).max() < 0.03 * scale
+
+
+def test_gather_rows_sorted_transpose_backward(rng):
+    """ops/gather.py gather_rows: forward == table[idx]; backward
+    (sorted-chunk scatter over the src-transpose arena) == the plain
+    gather's transpose, including repeated indices, masked padding rows
+    (zero cotangent), and rows never referenced."""
+    import jax
+
+    from madrigal_tpu.data.kg import _src_transpose_arena
+    from madrigal_tpu.ops.gather import gather_rows
+
+    n, e_real, chunk = 13, 57, 4
+    src = np.zeros((72,), np.int32)  # padded arena, budget 72
+    msk = np.zeros((72,), bool)
+    src[:e_real] = rng.randint(0, n, size=e_real)
+    msk[:e_real] = True
+    perm, chunk_src = _src_transpose_arena(src, msk, chunk, pad_multiple=8)
+    assert perm.shape[0] % chunk == 0
+    # every real edge position appears exactly once
+    real = perm[perm < 72]
+    assert sorted(real.tolist()) == list(range(e_real))
+
+    table = jnp.asarray(rng.randn(n, 6))
+    idx = jnp.asarray(src)
+    out = gather_rows(table, idx, jnp.asarray(perm),
+                      jnp.asarray(chunk_src), chunk)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(table)[src])
+
+    cot = rng.randn(72, 6)
+    cot[~msk] = 0.0  # masked edges carry zero cotangent (as in the HGT)
+    cot = jnp.asarray(cot)
+
+    g_new = jax.grad(
+        lambda t: jnp.vdot(gather_rows(t, idx, jnp.asarray(perm),
+                                       jnp.asarray(chunk_src), chunk), cot)
+    )(table)
+    g_ref = jax.grad(lambda t: jnp.vdot(t[idx], cot))(table)
+    np.testing.assert_allclose(np.asarray(g_new), np.asarray(g_ref),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_hgt_src_arena_backward_matches(rng):
+    """build_kg_batch(edge_chunk=8) now carries source-transpose arenas by
+    default; gradients must match the src_arena=False chunked batch
+    bit-for-bit in structure and tightly in value (same math, reassociated
+    adds), in both softmax scopes and composed with remat."""
+    import jax
+
+    node_feats, edges = small_kg(rng)
+    kg_a = build_kg_batch(node_feats, edges, drug_ids=np.arange(10),
+                          edge_chunk=8)
+    kg_p = build_kg_batch(node_feats, edges, drug_ids=np.arange(10),
+                          edge_chunk=8, src_arena=False)
+    assert kg_a.edge_src_perm and not kg_p.edge_src_perm
+    for scope, remat in (("per_edge_type", False), ("global", False),
+                         ("per_edge_type", True)):
+        cfg = HGTConfig(hidden_dim=16, num_layers=2, att_heads=4,
+                        softmax_scope=scope, remat_edge_types=remat)
+        m = HGTEncoder(cfg=cfg, embed_dim=8, drug_only_head=True)
+        v = m.init(jax.random.PRNGKey(0), kg_p, train=False)
+
+        def loss(vv, kg):
+            return jnp.sum(m.apply(vv, kg, train=False)["drug"] ** 2)
+
+        np.testing.assert_allclose(
+            np.asarray(m.apply(v, kg_a, train=False)["drug"]),
+            np.asarray(m.apply(v, kg_p, train=False)["drug"]),
+            rtol=1e-6, atol=1e-7)
+        g_a = jax.grad(loss)(v, kg_a)
+        g_p = jax.grad(loss)(v, kg_p)
+        for a, b in zip(jax.tree_util.tree_leaves(g_a),
+                        jax.tree_util.tree_leaves(g_p)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-5, atol=1e-6)
