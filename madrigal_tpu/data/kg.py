@@ -186,7 +186,12 @@ def build_kg_batch(
 
     src_arena: also build the source-transpose (backward-pass) arenas so
     the HGT's src gathers backprop without unsorted row scatters
-    (ops/gather.py). Default: on whenever edge_chunk > 0."""
+    (ops/gather.py). Default OFF: measured at full PrimeKG scale the
+    per-source run padding inflates the arena ~3.4x (4.36M rows vs
+    1.29M edges) and the sorted path runs ~60% SLOWER than XLA's
+    unsorted scatter-add (2550 vs 1561 ms/fwd+bwd f32 per-edge-type,
+    1805 vs 1368 bf16; OOM in global scope) -- the scatter it avoids is
+    cheaper than the padding it adds (scripts/hgt_scale_bench.py --bwd)."""
     metadata = KGMetadata(
         node_types=tuple(sorted(node_feats)),
         edge_types=tuple(sorted(edge_indices)),
@@ -194,7 +199,7 @@ def build_kg_batch(
         edge_chunk=edge_chunk,
     )
     if src_arena is None:
-        src_arena = edge_chunk > 0
+        src_arena = False
     n_nodes = {k: np.asarray(v).shape[0] for k, v in node_feats.items()}
     src_d, dst_d, mask_d, cdst_d = {}, {}, {}, {}
     sperm_d, schunk_d = {}, {}

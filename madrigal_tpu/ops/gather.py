@@ -25,6 +25,15 @@ ulp-reassociation -- tests/test_hgt.py pins f64 agreement).
 No reference counterpart: the reference's torch-scatter backward runs on
 CUDA where atomics make unsorted scatters cheap; this file exists because
 TPU scatters are row-rate-bound (CLAUDE.md measured facts).
+
+MEASURED NEGATIVE RESULT (full PrimeKG scale, v5e chip, 2-layer HGT
+fwd+bwd, scripts/hgt_scale_bench.py --bwd): the per-source run padding
+inflates the arena to ~3.4x the edge count (4.36M rows vs 1.29M edges at
+chunk=8) and every [P, H, D] temp tile-pads a further 4x, so the sorted
+path runs ~60% SLOWER than XLA's unsorted scatter-add (2550 vs 1561
+ms f32 per-edge-type; 1805 vs 1368 bf16; OOMs the chip in global scope).
+Kept as a tested opt-in (build_kg_batch(src_arena=True)); the production
+default is OFF.
 """
 from __future__ import annotations
 

@@ -66,17 +66,21 @@ def bwd_bench(node_feats, edges, drug_ids):
     """fwd+bwd A/B of the source-transpose backward (ops/gather.py)."""
     variants = [
         ("chunk8+src_arena",
-         build_kg_batch(node_feats, edges, drug_ids=drug_ids, edge_chunk=8)),
-        ("chunk8_plain",
          build_kg_batch(node_feats, edges, drug_ids=drug_ids, edge_chunk=8,
-                        src_arena=False)),
+                        src_arena=True)),
+        ("chunk8_plain",
+         build_kg_batch(node_feats, edges, drug_ids=drug_ids, edge_chunk=8)),
     ]
     for scope, dtype in (("per_edge_type", "float32"),
                          ("per_edge_type", "bfloat16"),
                          ("global", "float32")):
         for vname, kg in variants:
+            # remat_edge_types: full-scale f32 fwd+bwd without it OOMs a
+            # single v5e chip (15.84/15.75 G HBM); production training
+            # always sets it, so the A/B runs the production config
             cfg = HGTConfig(hidden_dim=128, num_layers=2, att_heads=4,
-                            softmax_scope=scope, compute_dtype=dtype)
+                            softmax_scope=scope, compute_dtype=dtype,
+                            remat_edge_types=True)
             model = HGTEncoder(cfg=cfg, embed_dim=128, drug_only_head=True)
             variables = jax.jit(
                 lambda: model.init(jax.random.PRNGKey(0), kg, train=False)
