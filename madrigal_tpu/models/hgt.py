@@ -53,6 +53,23 @@ def _src_gather(table, src, src_perm, src_chunk, chunk: int):
     return gather_rows(table, src, src_perm, src_chunk, chunk)
 
 
+def _block_diag(rel: jnp.ndarray) -> jnp.ndarray:
+    """Per-head relation matrices [H, D, E] -> block-diagonal [H*D, H*E].
+
+    Lane-layout keystone: with the relation transform expressed as ONE
+    [F, F] matmul on flat [N, F] tables (F = H*D = 128), every edge-axis
+    stream downstream (gathers, weighted messages, segment sums) keeps
+    H*D merged in the lane dimension and tiles perfectly as T(8, 128).
+    The per-head einsum formulation instead pins shapes like [E, 4, 32]
+    whose minor dims tile-pad 4x on TPU -- measured 28% program memory
+    utilization and ~4x excess HBM traffic in the fwd+bwd at PrimeKG
+    scale. The extra FLOPs (zero blocks) are MXU-negligible at F=128.
+    Adding the zero blocks into the contraction is exact in IEEE."""
+    H, D, E = rel.shape
+    eye = jnp.eye(H, dtype=rel.dtype)
+    return jnp.einsum("hde,hg->hdge", rel, eye).reshape(H * D, H * E)
+
+
 def _casters(compute_dtype):
     """(cast, upcast) helpers for the mixed-precision edge pipeline.
 
@@ -79,31 +96,34 @@ def _edge_type_messages(q_dst, k_src, v_src, k_rel, v_rel, p_rel,
     mesh axis, node tables replicated) the segment softmax and sum merge
     across the fleet's edge shards -- graph-parallel message passing.
 
-    `compute_dtype=bfloat16` runs the edge-level [E, H, D] streams
+    `compute_dtype=bfloat16` runs the edge-level [E, F] streams
     (gathers, logits product, weighted messages) in bf16 -- the pass is
     HBM-bandwidth-bound, so this approaches 2x. Softmax statistics and
     the output accumulation stay float32. compute_dtype=None inserts no
-    casts at all (f32 production path and f64 parity tests)."""
-    D = k_rel.shape[-1]
+    casts at all (f32 production path and f64 parity tests).
+
+    Lane layout: node tables are flat [N, F] and every edge-axis stream
+    is [E, F] (H*D merged in lanes -- see _block_diag); only the [E, H]
+    logits/alpha leave that layout."""
+    H, D = k_rel.shape[0], k_rel.shape[-1]
     cast, up = _casters(compute_dtype)
-    k_s = jnp.einsum("nhd,hde->nhe", cast(k_src), cast(k_rel))
-    v_s = jnp.einsum("nhd,hde->nhe", cast(v_src), cast(v_rel))
+    k_s = cast(k_src) @ _block_diag(cast(k_rel))  # [N, F]
+    v_s = cast(v_src) @ _block_diag(cast(v_rel))
     q_c = cast(q_dst)
     dst_safe = jnp.where(mask, dst, n_dst)
+    prod = up(q_c[dst] * k_s[src])  # [E, F]
     logits = (
-        jnp.sum(up(q_c[dst] * k_s[src]), axis=-1)
+        prod.reshape(prod.shape[0], H, D).sum(axis=-1)
         * p_rel[None, :]
         / jnp.sqrt(jnp.asarray(D, jnp.float32))
     )  # [E, H] f32 (or the input dtype in the no-cast mode)
     alpha = segment_softmax(logits, dst_safe, n_dst, mask=mask,
                             axis_name=axis_name,
                             indices_are_sorted=indices_are_sorted)
-    msg = v_s[src] * cast(alpha)[..., None]  # [E, H, D]
-    n, h, d = n_dst, msg.shape[1], msg.shape[2]
+    msg = v_s[src] * jnp.repeat(cast(alpha), D, axis=-1)  # [E, F]
     return segment_sum(up(msg), dst_safe, n_dst,
                        axis_name=axis_name,
-                       indices_are_sorted=indices_are_sorted
-                       ).reshape(n, h * d)
+                       indices_are_sorted=indices_are_sorted)
 
 
 def _edge_type_messages_chunked(q_dst, k_src, v_src, k_rel, v_rel, p_rel,
@@ -116,19 +136,19 @@ def _edge_type_messages_chunked(q_dst, k_src, v_src, k_rel, v_rel, p_rel,
     KGMetadata.edge_chunk). Destination-side values (query rows, softmax
     statistics) move at chunk granularity and the output accumulation is a
     streaming intra-chunk reduction + chunk-granular scatter -- the layout
-    that sidesteps the TPU's slow per-edge scatters."""
-    D = k_rel.shape[-1]
-    H = k_rel.shape[0]
+    that sidesteps the TPU's slow per-edge scatters. Edge-axis streams
+    stay [E, F] / [E/c, c, F] (lanes = H*D; see _block_diag)."""
+    H, D = k_rel.shape[0], k_rel.shape[-1]
     cast, up = _casters(compute_dtype)
-    k_s = jnp.einsum("nhd,hde->nhe", cast(k_src), cast(k_rel))
-    v_s = jnp.einsum("nhd,hde->nhe", cast(v_src), cast(v_rel))
-    q_chunk = cast(q_dst)[chunk_dst]  # [E/c, H, D] (clamped sentinel
+    k_s = cast(k_src) @ _block_diag(cast(k_rel))  # [N, F]
+    v_s = cast(v_src) @ _block_diag(cast(v_rel))
+    q_chunk = cast(q_dst)[chunk_dst]  # [E/c, F] (clamped sentinel
     # rows are garbage but fully masked below)
     k_g = _src_gather(k_s, src, src_perm, src_chunk,
-                      chunk).reshape(-1, chunk, H, D)
+                      chunk).reshape(-1, chunk, H * D)
+    prod = up(q_chunk[:, None] * k_g)  # [E/c, c, F]
     logits = (
-        jnp.sum(up(q_chunk[:, None] * k_g), axis=-1)
-        .reshape(-1, H)
+        prod.reshape(-1, H, D).sum(axis=-1)
         * p_rel[None, :]
         / jnp.sqrt(jnp.asarray(D, jnp.float32))
     )  # [E, H]
@@ -136,11 +156,10 @@ def _edge_type_messages_chunked(q_dst, k_src, v_src, k_rel, v_rel, p_rel,
         logits, mask, chunk_dst, n_dst, chunk, axis_name=axis_name,
         indices_are_sorted=indices_are_sorted)
     msg = (_src_gather(v_s, src, src_perm, src_chunk, chunk)
-           * cast(alpha)[..., None])  # [E, H, D]
+           * jnp.repeat(cast(alpha), D, axis=-1))  # [E, F]
     return chunked_segment_sum(
         up(msg), chunk_dst, n_dst, chunk,
-        axis_name=axis_name, indices_are_sorted=indices_are_sorted,
-    ).reshape(n_dst, H * D)
+        axis_name=axis_name, indices_are_sorted=indices_are_sorted)
 
 
 class HGTConv(nn.Module):
@@ -171,13 +190,12 @@ class HGTConv(nn.Module):
             edge_fn_c = jax.checkpoint(_edge_type_messages_chunked,
                                        static_argnums=(11, 12, 13, 14, 15))
 
+        # node tables stay flat [N, F] (h-major lanes); per-head structure
+        # only surfaces in the [E, H] logits (see _block_diag)
         k_dict, q_dict, v_dict = {}, {}, {}
         for nt in g.metadata.node_types:
             kqv = nn.Dense(3 * F, name=f"kqv__{nt}")(x_dict[nt])
-            k, q, v = jnp.split(kqv, 3, axis=-1)
-            k_dict[nt] = k.reshape(-1, H, D)
-            q_dict[nt] = q.reshape(-1, H, D)
-            v_dict[nt] = v.reshape(-1, H, D)
+            k_dict[nt], q_dict[nt], v_dict[nt] = jnp.split(kqv, 3, axis=-1)
 
         # per-edge-type logits + transformed values. When rematting, a
         # barrier carry serializes the edge types: XLA otherwise schedules
@@ -211,18 +229,16 @@ class HGTConv(nn.Module):
             if self.softmax_scope == "global":
                 # global scope must hold every type's logits/values until
                 # the per-dst-type softmax, so remat cannot apply here
-                k_s = jnp.einsum("nhd,hde->nhe",
-                                 cast(k_dict[src_t]), cast(k_rel))
-                v_s = jnp.einsum("nhd,hde->nhe",
-                                 cast(v_dict[src_t]), cast(v_rel))
+                k_s = cast(k_dict[src_t]) @ _block_diag(cast(k_rel))
+                v_s = cast(v_dict[src_t]) @ _block_diag(cast(v_rel))
                 if chunk > 0:
                     chunk_dst = g.edge_chunk_dst[ek]
-                    q_chunk = cast(q_dict[dst_t])[chunk_dst]
+                    q_chunk = cast(q_dict[dst_t])[chunk_dst]  # [E/c, F]
                     k_g = _src_gather(k_s, src, sperm, schunk,
-                                      chunk).reshape(-1, chunk, H, D)
+                                      chunk).reshape(-1, chunk, F)
+                    prod = up(q_chunk[:, None] * k_g)
                     logits = (
-                        jnp.sum(up(q_chunk[:, None] * k_g), axis=-1)
-                        .reshape(-1, H)
+                        prod.reshape(-1, H, D).sum(axis=-1)
                         * p_rel[None, :]
                         / jnp.sqrt(jnp.asarray(D, jnp.float32))
                     )  # [E, H]
@@ -231,9 +247,9 @@ class HGTConv(nn.Module):
                          chunk_dst, mask))
                     continue
                 dst_safe = jnp.where(mask, dst, n_dst)
+                prod = up(cast(q_dict[dst_t])[dst] * k_s[src])  # [E, F]
                 logits = (
-                    jnp.sum(up(cast(q_dict[dst_t])[dst]
-                               * k_s[src]), axis=-1)
+                    prod.reshape(-1, H, D).sum(axis=-1)
                     * p_rel[None, :]
                     / jnp.sqrt(jnp.asarray(D, jnp.float32))
                 )  # [E, H]
@@ -284,18 +300,18 @@ class HGTConv(nn.Module):
                         logits, masks, dsts, n_dst, chunk,
                         axis_name=self.shard_axis,
                         indices_are_sorted=False)
-                    msg = vals * cast(alpha)[..., None]
+                    msg = vals * jnp.repeat(cast(alpha), D, axis=-1)
                     agg[nt].append(chunked_segment_sum(
                         up(msg), dsts, n_dst, chunk,
                         axis_name=self.shard_axis,
-                        indices_are_sorted=False).reshape(n_dst, F))
+                        indices_are_sorted=False))
                     continue
                 alpha = segment_softmax(logits, dsts, n_dst, mask=masks,
                                         axis_name=self.shard_axis)
-                msg = vals * cast(alpha)[..., None]
+                msg = vals * jnp.repeat(cast(alpha), D, axis=-1)
                 agg[nt].append(
                     segment_sum(up(msg), dsts, n_dst,
-                                axis_name=self.shard_axis).reshape(n_dst, F)
+                                axis_name=self.shard_axis)
                 )
 
         out_dict = {}

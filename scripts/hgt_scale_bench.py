@@ -65,12 +65,16 @@ EDGE_SPEC = [
 def bwd_bench(node_feats, edges, drug_ids):
     """fwd+bwd A/B of the source-transpose backward (ops/gather.py)."""
     variants = [
-        ("chunk8+src_arena",
-         build_kg_batch(node_feats, edges, drug_ids=drug_ids, edge_chunk=8,
-                        src_arena=True)),
         ("chunk8_plain",
          build_kg_batch(node_feats, edges, drug_ids=drug_ids, edge_chunk=8)),
+        ("unchunked",
+         build_kg_batch(node_feats, edges, drug_ids=drug_ids)),
     ]
+    if "--src_arena" in sys.argv:
+        variants.insert(0, (
+            "chunk8+src_arena",
+            build_kg_batch(node_feats, edges, drug_ids=drug_ids,
+                           edge_chunk=8, src_arena=True)))
     for scope, dtype in (("per_edge_type", "float32"),
                          ("per_edge_type", "bfloat16"),
                          ("global", "float32")):
@@ -111,6 +115,9 @@ def main():
                     help="1/16-scale sanity run")
     ap.add_argument("--bwd", action="store_true",
                     help="time fwd+bwd, A/B the src-transpose backward")
+    ap.add_argument("--src_arena", action="store_true",
+                    help="also A/B the (measured-slower) src-transpose "
+                         "backward arenas")
     ap.add_argument("--platform_cpu", action="store_true",
                     help="force the CPU backend (sanity runs)")
     args = ap.parse_args()
@@ -147,8 +154,6 @@ def main():
                          ("global", "float32"),
                          ("global", "bfloat16")):
         for vname, kg in variants:
-            if dtype == "bfloat16" and vname != "chunked8":
-                continue
             cfg = HGTConfig(hidden_dim=128, num_layers=2, att_heads=4,
                             softmax_scope=scope, compute_dtype=dtype)
             model = HGTEncoder(cfg=cfg, embed_dim=128, drug_only_head=True)
