@@ -12,8 +12,29 @@ from __future__ import annotations
 import os
 
 
+def _host_arch_tag() -> str:
+    """Short fingerprint of the host CPU's feature set. CPU AOT blobs
+    bake in machine features; the build driver hops between hosts with
+    different CPUs (observed: amx-capable vs not), and loading a blob
+    compiled elsewhere warns of possible SIGILL. Hashing the cpuinfo
+    flags line keeps each host's CPU cache private to matching CPUs."""
+    import hashlib
+
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    return hashlib.sha1(line.encode()).hexdigest()[:8]
+    except OSError:
+        pass
+    import platform
+
+    return platform.machine()
+
+
 def enable_compile_cache(root: str | None = None) -> str:
-    """Point the persistent compile cache at ``<root>/<backend>``.
+    """Point the persistent compile cache at ``<root>/<backend>`` (CPU:
+    ``<root>/cpu-<arch-hash>`` -- see _host_arch_tag).
 
     Must run after any platform forcing (``jax_platforms``) so the
     backend query reflects the platform the process will actually use.
@@ -27,7 +48,10 @@ def enable_compile_cache(root: str | None = None) -> str:
                 os.path.abspath(__file__)))),
             ".jax_cache",
         )
-    path = os.path.join(root, jax.default_backend())
+    backend = jax.default_backend()
+    if backend == "cpu":
+        backend = f"cpu-{_host_arch_tag()}"
+    path = os.path.join(root, backend)
     jax.config.update("jax_compilation_cache_dir", path)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     return path
