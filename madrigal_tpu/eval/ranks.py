@@ -52,10 +52,24 @@ def normalized_rank_matrix(scores: jnp.ndarray,
     holds rank(score[max(i,j), min(i,j)]) / (N(N-1)/2); diagonal is 0.
 
     Uses the double-sort formulation (the reference's exact formula,
-    normalize_scores.py:46) rather than sort-with-payload + scatter:
-    measured on a v5e chip at N=6843, double sort runs 296-335 ms/outcome
-    vs 614 ms (key+payload sort + scatter) and 937 ms (lower-tri
-    compaction) -- TPU scatters cost more than the extra sort.
+    normalize_scores.py:46). Every "avoid the second sort" alternative
+    has been measured SLOWER on a v5e chip at N=6843
+    (scripts/rank_variants_bench.py, round-3 sweep; double sort u32 =
+    276 ms/outcome):
+      * key+payload sort + permutation scatter: 614 ms generic, still
+        552 ms with unique_indices + promise_in_bounds;
+      * searchsorted of the sorted keys: ~70x slower (XLA lowers the
+        binary search to a serial scan);
+      * strict-lower-triangle compaction (sort m = n(n-1)/2 instead of
+        n^2, analytic index gathers both ways): 982 ms -- the
+        single-element gathers alone cost 882 ms (TPU gathers are
+        ROW-rate-bound, ~80M rows/s at width 1);
+      * batching outcomes into one dimension-1 sort: 529-986 ms/outcome.
+    Decomposition probes pin the floor: one u32 values-only sort is
+    91.5 ms, one (u32 key, i32 payload) sort 143 ms -- so any
+    two-key+payload-sort scheme pays ~286 ms and the shipped kernel's
+    276 ms is already at that wall. The lever for the full tensor is the
+    label axis (parallel/allpairs.py), not the per-outcome kernel.
 
     stable=True gives deterministic ascending-position tie ranks;
     stable=False is faster (276 vs 334 ms/outcome at N=6843: unstable

@@ -16,6 +16,9 @@ import numpy as np
 
 import jax
 
+if "--platform_cpu" in sys.argv:
+    jax.config.update("jax_platforms", "cpu")
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from madrigal_tpu.utils.cache import enable_compile_cache
@@ -151,6 +154,79 @@ def variant_h_scatter_unique(scores):
     return out + out.T
 
 
+def _tri_row_of(k):
+    """Row index i of the k-th strict-lower-triangle element (row-major
+    enumeration: (1,0),(2,0),(2,1),(3,0)...). i = max i s.t. i(i-1)/2 <= k,
+    via f32 sqrt + exact int32 correction (f32 can't hold k>2^24 exactly;
+    the +-2 correction window absorbs that)."""
+    kf = k.astype(jnp.float32)
+    i = ((1.0 + jnp.sqrt(1.0 + 8.0 * kf)) * 0.5).astype(jnp.int32)
+    for _ in range(2):
+        tri = i * (i - 1) // 2
+        i = jnp.where(tri > k, i - 1, i)
+        tri_up = (i + 1) * i // 2
+        i = jnp.where(tri_up <= k, i + 1, i)
+    return i
+
+
+@jax.jit
+def variant_i_compact(scores):
+    # sort ONLY the m = n(n-1)/2 strict-lower-triangle entries (the
+    # current kernel sorts all n^2 with the upper triangle inf-padded):
+    # compaction and expansion are analytic gathers (no scatters, no big
+    # index constants), each sort shrinks 2x.
+    n = scores.shape[0]
+    m = n * (n - 1) // 2
+    k = lax.iota(jnp.int32, m)
+    i = _tri_row_of(k)
+    j = k - i * (i - 1) // 2
+    vals = scores.reshape(-1)[i * n + j]  # [m]
+    keys = _f32_to_sortable_u32(vals)
+    iota = lax.iota(jnp.int32, m)
+    _, order = lax.sort((keys, iota), is_stable=False, num_keys=1)
+    _, inv = lax.sort((order, iota), is_stable=False, num_keys=1)
+    ranks = jnp.concatenate(
+        [inv.astype(jnp.float32) + 1.0, jnp.zeros((1,), jnp.float32)])
+    rows = lax.broadcasted_iota(jnp.int32, (n, n), 0)
+    cols = lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    tril = rows > cols
+    back = jnp.where(tril, rows * (rows - 1) // 2 + cols, m)
+    out = ranks[back.reshape(-1)].reshape(n, n) / m
+    return out + out.T
+
+
+@jax.jit
+def probe_compact_gathers_only(scores):
+    # decomposition probe: the two analytic gathers of variant_i without
+    # the sorts (their overhead vs the saved half-size sorts)
+    n = scores.shape[0]
+    m = n * (n - 1) // 2
+    k = lax.iota(jnp.int32, m)
+    i = _tri_row_of(k)
+    j = k - i * (i - 1) // 2
+    vals = scores.reshape(-1)[i * n + j]
+    padded = jnp.concatenate([vals, jnp.zeros((1,), jnp.float32)])
+    rows = lax.broadcasted_iota(jnp.int32, (n, n), 0)
+    cols = lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    tril = rows > cols
+    back = jnp.where(tril, rows * (rows - 1) // 2 + cols, m)
+    return padded[back.reshape(-1)].reshape(n, n)
+
+
+@jax.jit
+def probe_sort_compact_only(scores):
+    # decomposition probe: one (u32, i32) sort at compacted size m
+    n = scores.shape[0]
+    m = n * (n - 1) // 2
+    k = lax.iota(jnp.int32, m)
+    i = _tri_row_of(k)
+    j = k - i * (i - 1) // 2
+    vals = scores.reshape(-1)[i * n + j]
+    keys = _f32_to_sortable_u32(vals)
+    iota = lax.iota(jnp.int32, m)
+    return lax.sort((keys, iota), is_stable=False, num_keys=1)[1]
+
+
 @jax.jit
 def sort_values_only(scores):
     # decomposition probe: a payload-free u32 sort (lower bound for any
@@ -230,9 +306,20 @@ def main():
     # order)
     for name, fn in (("f", variant_f_searchsorted),
                      ("g", variant_g_searchsorted_u32),
-                     ("h", variant_h_scatter_unique)):
+                     ("h", variant_h_scatter_unique),
+                     ("i", variant_i_compact)):
         np.testing.assert_allclose(np.asarray(fn(xs)), a, atol=1e-6,
                                    err_msg=name)
+    # the analytic row-index inversion must be exact at FULL scale (f32
+    # sqrt rounding is corrected in int32; verify against numpy)
+    mfull = N * (N - 1) // 2
+    kk = np.arange(mfull, dtype=np.int64)
+    i_np = np.floor((1.0 + np.sqrt(1.0 + 8.0 * kk.astype(np.float64)))
+                    / 2.0).astype(np.int64)
+    i_dev = np.asarray(
+        jax.jit(_tri_row_of)(jnp.arange(mfull, dtype=jnp.int32)))
+    np.testing.assert_array_equal(i_dev.astype(np.int64), i_np)
+    print("tri-row inversion exact at full scale")
 
     if "--check_only" in sys.argv:
         print("correctness checks passed; skipping timing")
@@ -247,8 +334,11 @@ def main():
                      ("f_searchsorted", variant_f_searchsorted),
                      ("g_searchsorted_u32", variant_g_searchsorted_u32),
                      ("h_scatter_unique", variant_h_scatter_unique),
+                     ("i_compact_halfsort", variant_i_compact),
                      ("probe_sort_values_only", sort_values_only),
-                     ("probe_sort_key_payload", sort_key_payload_only)):
+                     ("probe_sort_key_payload", sort_key_payload_only),
+                     ("probe_compact_gathers", probe_compact_gathers_only),
+                     ("probe_sort_compact", probe_sort_compact_only)):
         if name in slow:
             print(f"{name}: skipped (measured 70x slower in r2; "
                   "--include_searchsorted to re-measure)")
