@@ -106,12 +106,19 @@ def _edge_type_messages(q_dst, k_src, v_src, k_rel, v_rel, p_rel,
     is [E, F] (H*D merged in lanes -- see _block_diag); only the [E, H]
     logits/alpha leave that layout."""
     H, D = k_rel.shape[0], k_rel.shape[-1]
+    F = H * D
     cast, up = _casters(compute_dtype)
     k_s = cast(k_src) @ _block_diag(cast(k_rel))  # [N, F]
     v_s = cast(v_src) @ _block_diag(cast(v_rel))
+    # k and v are gathered with the SAME src indices: gather once from the
+    # concatenated [N, 2F] table. TPU row scatters are ROW-rate-bound
+    # (segment_bench: [E,128] 32 GB/s vs [E,256] ~2x the bytes/s), so the
+    # fused gather halves the backward's scatter-add cost. Exact numerics
+    # (gather of a concat == concat of the gathers).
+    kv_g = jnp.concatenate([k_s, v_s], axis=-1)[src]  # [E, 2F]
     q_c = cast(q_dst)
     dst_safe = jnp.where(mask, dst, n_dst)
-    prod = up(q_c[dst] * k_s[src])  # [E, F]
+    prod = up(q_c[dst] * kv_g[:, :F])  # [E, F]
     logits = (
         prod.reshape(prod.shape[0], H, D).sum(axis=-1)
         * p_rel[None, :]
@@ -120,7 +127,7 @@ def _edge_type_messages(q_dst, k_src, v_src, k_rel, v_rel, p_rel,
     alpha = segment_softmax(logits, dst_safe, n_dst, mask=mask,
                             axis_name=axis_name,
                             indices_are_sorted=indices_are_sorted)
-    msg = v_s[src] * jnp.repeat(cast(alpha), D, axis=-1)  # [E, F]
+    msg = kv_g[:, F:] * jnp.repeat(cast(alpha), D, axis=-1)  # [E, F]
     return segment_sum(up(msg), dst_safe, n_dst,
                        axis_name=axis_name,
                        indices_are_sorted=indices_are_sorted)
@@ -139,14 +146,17 @@ def _edge_type_messages_chunked(q_dst, k_src, v_src, k_rel, v_rel, p_rel,
     that sidesteps the TPU's slow per-edge scatters. Edge-axis streams
     stay [E, F] / [E/c, c, F] (lanes = H*D; see _block_diag)."""
     H, D = k_rel.shape[0], k_rel.shape[-1]
+    F = H * D
     cast, up = _casters(compute_dtype)
     k_s = cast(k_src) @ _block_diag(cast(k_rel))  # [N, F]
     v_s = cast(v_src) @ _block_diag(cast(v_rel))
     q_chunk = cast(q_dst)[chunk_dst]  # [E/c, F] (clamped sentinel
     # rows are garbage but fully masked below)
-    k_g = _src_gather(k_s, src, src_perm, src_chunk,
-                      chunk).reshape(-1, chunk, H * D)
-    prod = up(q_chunk[:, None] * k_g)  # [E/c, c, F]
+    # fused k|v gather: one [E, 2F] gather / one backward scatter (row-
+    # rate-bound; see _edge_type_messages)
+    kv_g = _src_gather(jnp.concatenate([k_s, v_s], axis=-1),
+                       src, src_perm, src_chunk, chunk)  # [E, 2F]
+    prod = up(q_chunk[:, None] * kv_g[:, :F].reshape(-1, chunk, F))
     logits = (
         prod.reshape(-1, H, D).sum(axis=-1)
         * p_rel[None, :]
@@ -155,8 +165,7 @@ def _edge_type_messages_chunked(q_dst, k_src, v_src, k_rel, v_rel, p_rel,
     alpha = chunked_segment_softmax(
         logits, mask, chunk_dst, n_dst, chunk, axis_name=axis_name,
         indices_are_sorted=indices_are_sorted)
-    msg = (_src_gather(v_s, src, src_perm, src_chunk, chunk)
-           * jnp.repeat(cast(alpha), D, axis=-1))  # [E, F]
+    msg = kv_g[:, F:] * jnp.repeat(cast(alpha), D, axis=-1)  # [E, F]
     return chunked_segment_sum(
         up(msg), chunk_dst, n_dst, chunk,
         axis_name=axis_name, indices_are_sorted=indices_are_sorted)
@@ -231,29 +240,30 @@ class HGTConv(nn.Module):
                 # the per-dst-type softmax, so remat cannot apply here
                 k_s = cast(k_dict[src_t]) @ _block_diag(cast(k_rel))
                 v_s = cast(v_dict[src_t]) @ _block_diag(cast(v_rel))
+                kv_s = jnp.concatenate([k_s, v_s], axis=-1)  # fused k|v
                 if chunk > 0:
                     chunk_dst = g.edge_chunk_dst[ek]
                     q_chunk = cast(q_dict[dst_t])[chunk_dst]  # [E/c, F]
-                    k_g = _src_gather(k_s, src, sperm, schunk,
-                                      chunk).reshape(-1, chunk, F)
-                    prod = up(q_chunk[:, None] * k_g)
+                    kv_g = _src_gather(kv_s, src, sperm, schunk, chunk)
+                    prod = up(q_chunk[:, None]
+                              * kv_g[:, :F].reshape(-1, chunk, F))
                     logits = (
                         prod.reshape(-1, H, D).sum(axis=-1)
                         * p_rel[None, :]
                         / jnp.sqrt(jnp.asarray(D, jnp.float32))
                     )  # [E, H]
                     pending[dst_t].append(
-                        (logits, _src_gather(v_s, src, sperm, schunk, chunk),
-                         chunk_dst, mask))
+                        (logits, kv_g[:, F:], chunk_dst, mask))
                     continue
                 dst_safe = jnp.where(mask, dst, n_dst)
-                prod = up(cast(q_dict[dst_t])[dst] * k_s[src])  # [E, F]
+                kv_g = kv_s[src]  # [E, 2F]
+                prod = up(cast(q_dict[dst_t])[dst] * kv_g[:, :F])
                 logits = (
                     prod.reshape(-1, H, D).sum(axis=-1)
                     * p_rel[None, :]
                     / jnp.sqrt(jnp.asarray(D, jnp.float32))
                 )  # [E, H]
-                pending[dst_t].append((logits, v_s[src], dst_safe, mask))
+                pending[dst_t].append((logits, kv_g[:, F:], dst_safe, mask))
                 continue
             chunk_dst = g.edge_chunk_dst[ek] if chunk > 0 else dst
             if self.remat_edge_types:

@@ -77,7 +77,8 @@ def bwd_bench(node_feats, edges, drug_ids):
                            edge_chunk=8, src_arena=True)))
     for scope, dtype in (("per_edge_type", "float32"),
                          ("per_edge_type", "bfloat16"),
-                         ("global", "float32")):
+                         ("global", "float32"),
+                         ("global", "bfloat16")):
         for vname, kg in variants:
             # remat_edge_types: full-scale f32 fwd+bwd without it OOMs a
             # single v5e chip (15.84/15.75 G HBM); production training

@@ -81,7 +81,36 @@ def seg_chunked(data, chunk_dst):
                                indices_are_sorted=True)
 
 
+def width_sweep():
+    """Row-rate vs byte-rate probe: scatter/gather at widths 64..512 with
+    TOTAL BYTES held constant (E scales inversely). Row-rate-bound ops
+    (hypothesis for TPU scatters) finish ~Wx faster at width W*128; byte-
+    bound ops stay flat. Motivates the fused k|v gather in models/hgt.py
+    (one [E, 2F] stream instead of two [E, F] streams)."""
+    rng = np.random.RandomState(0)
+    base_bytes = E * F * 4
+    for width in (64, 128, 256, 512):
+        e = base_bytes // (width * 4)
+        data = jnp.asarray(rng.randn(e, width).astype(np.float32))
+        ids_u = rng.randint(0, N, e).astype(np.int32)
+        ids_s = np.sort(ids_u)
+        ends = np.searchsorted(ids_s, np.arange(N) + 1).astype(np.int32)
+        table = jnp.asarray(rng.randn(N, width).astype(np.float32))
+        for name, fn, args in (
+            ("scatter_unsorted", seg_unsorted, (data, jnp.asarray(ids_u))),
+            ("scatter_sorted", seg_sorted, (data, jnp.asarray(ids_s))),
+            ("cumsum_boundaries", seg_cumsum, (data, jnp.asarray(ends))),
+            ("gather", gather_only, (table, jnp.asarray(ids_u))),
+        ):
+            dt = timeit(fn, *args)
+            print(f"w={width:4d} E={e:>9d} {name}: {dt * 1e3:7.1f} ms "
+                  f"({base_bytes / dt / 1e9:.0f} GB/s effective)",
+                  flush=True)
+
+
 def main():
+    if "--widths" in sys.argv:
+        return width_sweep()
     rng = np.random.RandomState(0)
     data = jnp.asarray(rng.randn(E, F).astype(np.float32))
     ids_u = rng.randint(0, N, E).astype(np.int32)
