@@ -106,6 +106,9 @@ def main():
     ap.add_argument("--batch", type=int, default=768)
     ap.add_argument("--bf16", action="store_true")
     ap.add_argument("--kg_chunk", type=int, default=0)
+    ap.add_argument("--no_hgt_remat", action="store_true",
+                    help="disable hgt.remat_edge_types (more HBM, no "
+                         "per-edge-type recompute in the backward)")
     args = ap.parse_args()
     scale = 16 if args.small else 1
     n_drugs = 6843 // scale
@@ -122,7 +125,8 @@ def main():
         feature_dim=128,
         gin=GINConfig(hidden_dims=(128, 128, 128), num_mlp_layer=3),
         hgt=HGTConfig(hidden_dim=128, num_layers=2, att_heads=4,
-                      remat_edge_types=True, compute_dtype=cdt),
+                      remat_edge_types=not args.no_hgt_remat,
+                      compute_dtype=cdt),
         chemcpa=ChemCPAConfig(dim=128, autoencoder_width=512,
                               autoencoder_depth=2, use_drugs=False),
         transformer=FusionConfig(

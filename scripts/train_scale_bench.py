@@ -114,13 +114,13 @@ def build_scale_data(n_drugs, n_labels, n_triples, scale, rng,
 
 def flagship_cfg(n_labels, mode, bf16=False, label_chunk=0,
                  split=False, fusion_chunk=512, fusion_remat=True,
-                 remat_forwards=True, share_kg=True):
+                 remat_forwards=True, share_kg=True, hgt_remat=True):
     cdt = "bfloat16" if bf16 else "float32"
     enc = EncoderConfig(
         feature_dim=128,
         gin=GINConfig(hidden_dims=(128, 128, 128), num_mlp_layer=3),
         hgt=HGTConfig(hidden_dim=128, num_layers=2, att_heads=4,
-                      remat_edge_types=True, compute_dtype=cdt),
+                      remat_edge_types=hgt_remat, compute_dtype=cdt),
         chemcpa=ChemCPAConfig(dim=128, autoencoder_width=512,
                               autoencoder_depth=2, use_drugs=False),
         transformer=FusionConfig(
@@ -166,18 +166,21 @@ def sweep(kind, batch, kg, n_labels, reps=3):
     import gc
 
     if kind == "full":
-        # full_full (1 forward): fusion_batch_chunk x fusion-remat x
-        # remat_forwards. Baseline r2: (512, remat, rf) = 3.61 s/epoch.
+        # full_full (1 forward). Measured history: r2 baseline
+        # (512, remat, rf) = 3.61; r3 sweep-1 best fc512+frm (rf off) =
+        # 3.00 (fc1024/2048+frm = 3.06; fc0+frm / fc2048 / fc0 kill the
+        # remote compile helper). Sweep-2 (post merged-lane + fused k|v):
+        # retest the winner, then drop fusion remat at fc512 (small
+        # program, never tried) and HGT remat_edge_types (post-lane
+        # memory may fit) -- riskiest last.
         grid = [
-            ("fc512+frm+rf", dict(fusion_chunk=512)),
             ("fc512+frm", dict(fusion_chunk=512, remat_forwards=False)),
-            ("fc1024+frm", dict(fusion_chunk=1024, remat_forwards=False)),
-            ("fc2048+frm", dict(fusion_chunk=2048, remat_forwards=False)),
-            ("fc0+frm", dict(fusion_chunk=0, remat_forwards=False)),
-            ("fc2048", dict(fusion_chunk=2048, fusion_remat=False,
-                            remat_forwards=False)),
-            ("fc0", dict(fusion_chunk=0, fusion_remat=False,
-                         remat_forwards=False)),
+            ("fc512", dict(fusion_chunk=512, fusion_remat=False,
+                           remat_forwards=False)),
+            ("fc512+frm-hrm", dict(fusion_chunk=512, remat_forwards=False,
+                                   hgt_remat=False)),
+            ("fc512-hrm", dict(fusion_chunk=512, fusion_remat=False,
+                               remat_forwards=False, hgt_remat=False)),
         ]
         mk = lambda kw: flagship_cfg(n_labels, "full_full", bf16=True,
                                      label_chunk=64, **kw)
@@ -243,6 +246,9 @@ def main():
                          "rematerialization)")
     ap.add_argument("--no_share_kg", action="store_true",
                     help="split mode: recompute the KG pass per forward")
+    ap.add_argument("--no_hgt_remat", action="store_true",
+                    help="disable hgt.remat_edge_types (more HBM, no "
+                         "per-edge-type recompute in the backward)")
     ap.add_argument("--sweep", type=str, default=None,
                     choices=[None, "full", "split"],
                     help="run the built-in config sweep instead of one "
@@ -267,7 +273,8 @@ def main():
                        fusion_chunk=args.fusion_chunk,
                        fusion_remat=not args.no_fusion_remat,
                        remat_forwards=not args.no_remat_forwards,
-                       share_kg=not args.no_share_kg)
+                       share_kg=not args.no_share_kg,
+                       hgt_remat=not args.no_hgt_remat)
     dt = run_config(cfg, batch, kg, args.mode, reps=5)
     print(
         f"mode={args.mode}{' bf16' if args.bf16 else ''}"
