@@ -87,6 +87,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "epoch (measured 3.00 -> 3.64 s at reference "
                         "scale); only needed when activations of ALL "
                         "forwards exceed HBM even with --fusion_remat")
+    p.add_argument("--no_hgt_remat", action="store_true",
+                   help="disable hgt.remat_edge_types (keeps every edge "
+                        "type's [E, F] streams live through the backward "
+                        "instead of recomputing them; faster when the "
+                        "extra HBM fits)")
     return p
 
 
@@ -175,6 +180,10 @@ def main(argv=None):
         enc_over = dataclasses.replace(
             enc_over, transformer=dataclasses.replace(
                 enc_over.transformer, remat=True))
+    if args.no_hgt_remat:
+        enc_over = dataclasses.replace(
+            enc_over, hgt=dataclasses.replace(
+                enc_over.hgt, remat_edge_types=False))
     cfg = dataclasses.replace(
         cfg,
         model=dataclasses.replace(cfg.model, prediction_dim=ds.num_labels,
