@@ -77,3 +77,46 @@ def test_triples_chunked_matches_direct(rng, monkeypatch):
     for a, b in zip(jax.tree_util.tree_leaves(g1),
                     jax.tree_util.tree_leaves(g2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_label_chunked_scan_matches_direct(rng, monkeypatch):
+    """The label-chunked triple scorer's scan path (T > TRIPLE_CHUNK *
+    label_chunk, incl. a non-divisible tail that pads) matches the direct
+    label-chunked evaluation and differentiates identically."""
+    import jax
+    import jax.numpy as jnp
+
+    from madrigal_tpu.models.decoder import BilinearDDIScorer
+
+    lc, D, L = 4, 8, 6
+    T = 56  # scan chunk C = 4*4 = 16 -> 3 full chunks + padded tail
+    dec = BilinearDDIScorer(num_labels=L, input_dim1=D, input_dim2=D)
+    zh = jnp.asarray(rng.randn(T, D).astype(np.float32))
+    zt = jnp.asarray(rng.randn(T, D).astype(np.float32))
+    # label-chunked layout: chunk-constant labels
+    cl = jnp.asarray(rng.randint(0, L, T // lc), jnp.int32)
+    lb = jnp.repeat(cl, lc)
+    variables = dec.init(jax.random.PRNGKey(0), zh, zt)
+
+    def run(vs, triple_chunk):
+        monkeypatch.setattr(BilinearDDIScorer, "TRIPLE_CHUNK", triple_chunk)
+        return dec.apply(vs, zh, zt, lb, chunk_labels=cl, label_chunk=lc,
+                         method=BilinearDDIScorer.triples)
+
+    direct = run(variables, 10 ** 9)
+    scanned = run(variables, 4)
+    assert scanned.shape == (T,)
+    np.testing.assert_allclose(np.asarray(scanned), np.asarray(direct),
+                               atol=1e-6)
+    # against the per-triple gather path too
+    monkeypatch.setattr(BilinearDDIScorer, "TRIPLE_CHUNK", 10 ** 9)
+    per_triple = dec.apply(variables, zh, zt, lb,
+                           method=BilinearDDIScorer.triples)
+    np.testing.assert_allclose(np.asarray(scanned),
+                               np.asarray(per_triple), atol=1e-6)
+
+    g1 = jax.grad(lambda v: jnp.sum(run(v, 10 ** 9) ** 2))(variables)
+    g2 = jax.grad(lambda v: jnp.sum(run(v, 4) ** 2))(variables)
+    for a, b in zip(jax.tree_util.tree_leaves(g1),
+                    jax.tree_util.tree_leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
