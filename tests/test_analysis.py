@@ -108,6 +108,65 @@ def test_rank_enrichment(rank_tensor):
     assert res_bg.pvalue < 0.05
 
 
+def test_analyze_cli_end_to_end(rank_tensor, tmp_path, capsys):
+    """cli.analyze over an exported memmap tensor: pair lookups, topk with
+    known-DDI exclusion, aggregation, enrichment, outcome-mapper
+    resolution — the notebook workflow without writing Python."""
+    from madrigal_tpu.cli.analyze import main
+
+    tpath = tmp_path / "ranks.npy"
+    np.save(tpath, np.asarray(rank_tensor, np.float32))
+
+    # pair lookups + self-combo export
+    main(["--tensor", str(tpath), "--pairs", "3:1", "19:0",
+          "--labels", "0,2", "--self_combo", str(tmp_path / "sc.npy")])
+    out = json.loads(capsys.readouterr().out)
+    np.testing.assert_allclose(
+        out["pairs"]["values"],
+        np.asarray(rank_tensor)[[0, 2]][:, [3, 19], [1, 0]], rtol=1e-6)
+    sc = np.load(tmp_path / "sc.npy")
+    assert sc.shape == (5, 20) and (sc == 0).all()
+
+    # topk with known-mask exclusion
+    pairs, vals = topk_novel_pairs(np.asarray(rank_tensor[1]), 1)
+    known = np.zeros((20, 20), bool)
+    known[pairs[0, 0], pairs[0, 1]] = True
+    np.save(tmp_path / "known.npy", known)
+    main(["--tensor", str(tpath), "--label", "1", "--topk", "3",
+          "--known", str(tmp_path / "known.npy")])
+    out = json.loads(capsys.readouterr().out)
+    assert len(out["topk"]["pairs"]) == 3
+    assert [int(pairs[0, 0]), int(pairs[0, 1])] not in out["topk"]["pairs"]
+
+    # aggregate + topk over the aggregate + enrichment of top candidates
+    cand = np.stack(topk_novel_pairs(
+        aggregate_outcomes(rank_tensor, [0, 2]), 8)[0])
+    np.savetxt(tmp_path / "cand.csv", cand, fmt="%d")
+    main(["--tensor", str(tpath), "--aggregate", "gmean",
+          "--labels", "0,2", "--out", str(tmp_path / "agg.npy"),
+          "--topk", "2", "--enrich", str(tmp_path / "cand.csv")])
+    out = json.loads(capsys.readouterr().out)
+    agg = np.load(tmp_path / "agg.npy")
+    np.testing.assert_allclose(
+        agg, aggregate_outcomes(rank_tensor, [0, 2]).astype(np.float32),
+        rtol=1e-6)
+    assert out["enrichment"]["pvalue"] < 1e-3
+    np.testing.assert_allclose(
+        out["topk"]["values"],
+        topk_novel_pairs(agg.astype(np.float64), 2)[0:2][1], rtol=1e-5)
+
+    # outcome-mapper label resolution drives --pairs
+    mapper = {"neutro": {"twosides": ["L1", "L3"]}}
+    (tmp_path / "mapper.json").write_text(json.dumps(mapper))
+    (tmp_path / "names.txt").write_text("L0\nL1\nL2\nL3\nL4\n")
+    main(["--tensor", str(tpath), "--pairs", "3:1",
+          "--outcome", "neutro",
+          "--outcome_mapper", str(tmp_path / "mapper.json"),
+          "--label_names", str(tmp_path / "names.txt")])
+    out = json.loads(capsys.readouterr().out)
+    assert out["pairs"]["labels"] == [1, 3]
+
+
 def test_outcome_mapper(tmp_path):
     mapper = {"neutropenia": {"drugbank": ["neutropenia, increase"],
                               "twosides": ["Neutropenia", "Leukopenia"]}}
