@@ -66,6 +66,14 @@ class BilinearDDIScorer(nn.Module):
 
     # one chunk's gathered [C, D, D] weights: 8192 * 128 * 128 * 4B = 512MB
     TRIPLE_CHUNK = 8192
+    # label-chunked scan path: max [D, D] weight slices gathered per scan
+    # step (1024 rows = 64 MB at D=128 f32). Bounds the step's transient
+    # (gather + its backward cotangent) independently of label_chunk: an
+    # uncapped TRIPLE_CHUNK * label_chunk step (512 MB slices at lc=64)
+    # OOMs the 3-forward split mode at reference scale, while 16 steps of
+    # 64 MB cost only ~60 ms of serialized backward per epoch
+    # (scripts/decoder_bench.py).
+    SCAN_WEIGHT_ROWS = 1024
 
     def triples(self, z_head, z_tail, labels, chunk_labels=None,
                 label_chunk: int = 0):
@@ -101,13 +109,14 @@ class BilinearDDIScorer(nn.Module):
                 zt3 = zt_c.reshape(-1, c, zt_c.shape[-1])
                 return jnp.einsum("tcd,tde,tce->tc", zh3, w, zt3).reshape(-1)
 
-            # The scan chunk bounds the gathered [C/lc, D, D] weight slice;
-            # scaling it by label_chunk keeps the same 512 MB envelope as
-            # the per-triple path's [8192, D, D] while cutting the scan to
-            # T/(8192*lc) steps (128 serialized steps at the reference's
-            # 1M-triple full batch measured ~0.5 s of the backward; 2
-            # steps are ~free).
-            C = C * label_chunk
+            # The scan chunk bounds the gathered [C/lc, D, D] weight
+            # slice. Scaling it by label_chunk cuts the step count (128
+            # serialized 8 MB steps at the reference's 1M-triple batch
+            # measured ~0.5 s of backward), but the slice rows are capped
+            # at SCAN_WEIGHT_ROWS so the per-step transient stays bounded
+            # (lc=64: 16 steps of 64 MB instead of 2 steps of 512 MB --
+            # the uncapped version OOM'd the 3-forward split mode).
+            C = max(C, self.SCAN_WEIGHT_ROWS * label_chunk)
             if T <= C:
                 return scores_fn(z_head, z_tail, chunk_labels)
             import jax

@@ -200,6 +200,27 @@ def sweep(kind, batch, kg, n_labels, reps=3):
         mk = lambda kw: flagship_cfg(
             n_labels, "str_random_sample", bf16=True, label_chunk=64,
             split=True, fusion_chunk=kw.pop("fusion_chunk", 512), **kw)
+    elif kind == "r3fix":
+        # post-SCAN_WEIGHT_ROWS-cap re-measurement (the uncapped scan
+        # OOM'd every split config; see models/decoder.py). Mixed modes:
+        # each entry carries (mode, split, kwargs).
+        grid = [
+            ("split:share+fc512+frm+rf",
+             dict(mode="str_random_sample", split=True, share_kg=True)),
+            ("split:share+fc512+frm",
+             dict(mode="str_random_sample", split=True, share_kg=True,
+                  remat_forwards=False)),
+            ("split:noshare+fc512+frm+rf",
+             dict(mode="str_random_sample", split=True, share_kg=False)),
+            ("full:fc512+frm",
+             dict(mode="full_full", split=False, remat_forwards=False)),
+            ("full:fc512+frm-hrm",
+             dict(mode="full_full", split=False, remat_forwards=False,
+                  hgt_remat=False)),
+        ]
+        mk = lambda kw: flagship_cfg(
+            n_labels, kw.pop("mode"), bf16=True, label_chunk=64,
+            split=kw.pop("split"), **kw)
     else:
         raise ValueError(kind)
 
@@ -250,7 +271,7 @@ def main():
                     help="disable hgt.remat_edge_types (more HBM, no "
                          "per-edge-type recompute in the backward)")
     ap.add_argument("--sweep", type=str, default=None,
-                    choices=[None, "full", "split"],
+                    choices=[None, "full", "split", "r3fix"],
                     help="run the built-in config sweep instead of one "
                          "config (amortizes tunnel warmup in-process)")
     ap.add_argument("--platform_cpu", action="store_true",

@@ -100,6 +100,9 @@ def test_label_chunked_scan_matches_direct(rng, monkeypatch):
 
     def run(vs, triple_chunk):
         monkeypatch.setattr(BilinearDDIScorer, "TRIPLE_CHUNK", triple_chunk)
+        # scan chunk C = max(TRIPLE_CHUNK, SCAN_WEIGHT_ROWS * lc) = 16
+        # -> 3 full chunks + padded tail
+        monkeypatch.setattr(BilinearDDIScorer, "SCAN_WEIGHT_ROWS", 4)
         return dec.apply(vs, zh, zt, lb, chunk_labels=cl, label_chunk=lc,
                          method=BilinearDDIScorer.triples)
 
