@@ -32,6 +32,8 @@ import jax
 
 from madrigal_tpu.utils.cache import enable_compile_cache
 
+if "--platform_cpu" in sys.argv:  # smoke-testing only; must precede any
+    jax.config.update("jax_platforms", "cpu")  # backend initialization
 enable_compile_cache()
 
 import jax.numpy as jnp
@@ -100,32 +102,14 @@ def build_ds(n_drugs, scale, rng):
     return ds
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--small", action="store_true")
-    ap.add_argument("--batch", type=int, default=768)
-    ap.add_argument("--bf16", action="store_true")
-    ap.add_argument("--kg_chunk", type=int, default=0)
-    ap.add_argument("--no_hgt_remat", action="store_true",
-                    help="disable hgt.remat_edge_types (more HBM, no "
-                         "per-edge-type recompute in the backward)")
-    args = ap.parse_args()
-    scale = 16 if args.small else 1
-    n_drugs = 6843 // scale
-    bsz = min(args.batch, n_drugs)
-
-    rng = np.random.RandomState(0)
-    print(f"building {n_drugs} drugs + PrimeKG/{scale} ...")
-    ds = build_ds(n_drugs, scale, rng)
-    coll = DDICollator(ds, split="train", kg_edge_chunk=args.kg_chunk)
-    kg = coll.kg_batch()
-
-    cdt = "bfloat16" if args.bf16 else "float32"
+def run_one(coll, kg, bsz, n_drugs, bf16, hgt_remat, reps=5):
+    """Build a CLPretrainer for one config and time the jitted step."""
+    cdt = "bfloat16" if bf16 else "float32"
     enc = EncoderConfig(
         feature_dim=128,
         gin=GINConfig(hidden_dims=(128, 128, 128), num_mlp_layer=3),
         hgt=HGTConfig(hidden_dim=128, num_layers=2, att_heads=4,
-                      remat_edge_types=not args.no_hgt_remat,
+                      remat_edge_types=hgt_remat,
                       compute_dtype=cdt),
         chemcpa=ChemCPAConfig(dim=128, autoencoder_width=512,
                               autoencoder_depth=2, use_drugs=False),
@@ -156,28 +140,71 @@ def main():
     t0 = time.perf_counter()
     state, loss = trainer._step(trainer.state, batch, kg, m1, m2, key)
     print(f"first step (incl. compile): {time.perf_counter() - t0:.0f} s "
-          f"loss={float(loss):.4f}")
+          f"loss={float(loss):.4f}", flush=True)
 
-    reps = 5
     t0 = time.perf_counter()
     for _ in range(reps):
         state, loss = trainer._step(state, batch, kg, m1, m2, key)
     loss_v = float(loss)  # device->host read = completion barrier
     dt = (time.perf_counter() - t0) / reps
-    tag = []
-    if args.bf16:
-        tag.append("bf16")
-    if args.kg_chunk:
-        tag.append(f"chunk{args.kg_chunk}")
+    tag = ["bf16" if bf16 else "f32"]
+    if not hgt_remat:
+        tag.append("no-hgt-remat")
     steps_per_epoch = -(-len(trainer.drug_ids) // bsz)
     total_min = dt * 1500 * steps_per_epoch / 60
     print(
-        f"CL step{' ' + '+'.join(tag) if tag else ''}: {dt:.2f} s/step at "
+        f"CL step {'+'.join(tag)}: {dt:.2f} s/step at "
         f"bs={bsz}, N={n_drugs} ({len(trainer.drug_ids)} pretrain-eligible"
         f" -> {steps_per_epoch} steps/epoch), full KG -> 1500-epoch "
         f"pretrain ~= {total_min:.0f} min on one chip (reference: <=2 days"
-        f" on one GPU, run_pretrain_twosides.sh:6); loss={loss_v:.4f}"
+        f" on one GPU, run_pretrain_twosides.sh:6); loss={loss_v:.4f}",
+        flush=True,
     )
+    return dt
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--small", action="store_true")
+    ap.add_argument("--batch", type=int, default=768)
+    ap.add_argument("--bf16", action="store_true")
+    ap.add_argument("--kg_chunk", type=int, default=0)
+    ap.add_argument("--no_hgt_remat", action="store_true",
+                    help="disable hgt.remat_edge_types (more HBM, no "
+                         "per-edge-type recompute in the backward)")
+    ap.add_argument("--sweep", action="store_true",
+                    help="measure f32 / bf16 / bf16+no-hgt-remat in one "
+                         "process (one data build, shared tunnel warmup)")
+    ap.add_argument("--platform_cpu", action="store_true",
+                    help="smoke-testing only (handled at import time)")
+    args = ap.parse_args()
+    scale = 16 if args.small else 1
+    n_drugs = 6843 // scale
+    bsz = min(args.batch, n_drugs)
+
+    rng = np.random.RandomState(0)
+    print(f"building {n_drugs} drugs + PrimeKG/{scale} ...", flush=True)
+    ds = build_ds(n_drugs, scale, rng)
+    coll = DDICollator(ds, split="train", kg_edge_chunk=args.kg_chunk)
+    kg = coll.kg_batch()
+
+    if args.sweep:
+        results = []
+        for bf16, hrm in ((False, True), (True, True), (True, False)):
+            try:
+                dt = run_one(coll, kg, bsz, n_drugs, bf16, hrm)
+            except Exception as e:  # OOM / compile failure: record, go on
+                print(f"[bf16={bf16} hgt_remat={hrm}] FAILED: "
+                      f"{type(e).__name__}: {str(e)[:200]}", flush=True)
+                dt = None
+            results.append((bf16, hrm, dt))
+        print("--- sweep:", flush=True)
+        for bf16, hrm, dt in results:
+            print(f"    bf16={int(bf16)} hgt_remat={int(hrm)}: "
+                  f"{'FAIL' if dt is None else '%.2f s/step' % dt}",
+                  flush=True)
+        return
+    run_one(coll, kg, bsz, n_drugs, args.bf16, not args.no_hgt_remat)
 
 
 if __name__ == "__main__":
