@@ -221,6 +221,16 @@ def sweep(kind, batch, kg, n_labels, reps=3):
         mk = lambda kw: flagship_cfg(
             n_labels, kw.pop("mode"), bf16=True, label_chunk=64,
             split=kw.pop("split"), **kw)
+    elif kind == "full2":
+        # full_full re-checks after the SCAN_WEIGHT_ROWS cap (fresh
+        # process: the r3fix tail OOM'd on cross-config cache leakage)
+        grid = [
+            ("fc512+frm", dict(fusion_chunk=512, remat_forwards=False)),
+            ("fc512+frm-hrm", dict(fusion_chunk=512, remat_forwards=False,
+                                   hgt_remat=False)),
+        ]
+        mk = lambda kw: flagship_cfg(n_labels, "full_full", bf16=True,
+                                     label_chunk=64, **kw)
     else:
         raise ValueError(kind)
 
@@ -233,6 +243,13 @@ def sweep(kind, batch, kg, n_labels, reps=3):
             print(f"[{label}] FAILED: {type(e).__name__}: "
                   f"{str(e)[:300]}", flush=True)
             results.append((label, None))
+        # the jit executable cache holds each config's step closures --
+        # and through them the trainer (params + optimizer state + the
+        # label-chunk view) -- alive for the whole process: measured
+        # cumulative HBM exhaustion by config 3 of a 5-config sweep.
+        # Dropping the caches frees the device arrays; the persistent
+        # disk cache still serves the compiled blobs.
+        jax.clear_caches()
         gc.collect()
         print("--- sweep so far:", flush=True)
         for lbl, d in results:
@@ -271,7 +288,7 @@ def main():
                     help="disable hgt.remat_edge_types (more HBM, no "
                          "per-edge-type recompute in the backward)")
     ap.add_argument("--sweep", type=str, default=None,
-                    choices=[None, "full", "split", "r3fix"],
+                    choices=[None, "full", "split", "r3fix", "full2"],
                     help="run the built-in config sweep instead of one "
                          "config (amortizes tunnel warmup in-process)")
     ap.add_argument("--platform_cpu", action="store_true",
