@@ -223,6 +223,18 @@ def run_chemcpa_sweep(
         if res["best_r2"] > best:
             best_i, best = i, res["best_r2"]
             best_vars, best_cfg = res["best_variables"], cfg
+        # the jit executable cache would otherwise keep every config's
+        # step closures -- and through them that trainer's params and
+        # optimizer state -- alive on device for the whole sweep
+        # (measured as cumulative HBM exhaustion in the finetune-scale
+        # sweeps; a 100-config random block hits the same wall). Live
+        # arrays we still reference (best_vars) are unaffected.
+        import gc
+
+        import jax
+
+        jax.clear_caches()
+        gc.collect()
     if fh:
         fh.close()
     return {
