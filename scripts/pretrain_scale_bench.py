@@ -198,6 +198,11 @@ def main():
                       f"{type(e).__name__}: {str(e)[:200]}", flush=True)
                 dt = None
             results.append((bf16, hrm, dt))
+            # drop each config's jit closures (trainer params/opt state)
+            # -- the cross-config leak that OOM'd the finetune sweeps
+            import gc
+            jax.clear_caches()
+            gc.collect()
         print("--- sweep:", flush=True)
         for bf16, hrm, dt in results:
             print(f"    bf16={int(bf16)} hgt_remat={int(hrm)}: "
