@@ -41,6 +41,15 @@ def add_common_args(p: argparse.ArgumentParser):
 
 
 def _parse_value(v: str):
+    # Python-style bool/None spellings first: json.loads("False") fails,
+    # and falling through to the raw string "False" silently reads as
+    # TRUTHY wherever the config checks `if flag:` -- the opposite of
+    # what the user asked for.
+    low = v.strip().lower()
+    if low in ("true", "false"):
+        return low == "true"
+    if low in ("none", "null"):
+        return None
     try:
         return json.loads(v)
     except json.JSONDecodeError:

@@ -107,7 +107,9 @@ def main(argv=None):
         mlog.log({"cl_loss": loss}, step=step)
         if step % 10 == 0:
             logger.info(f"step {step}: infonce={loss:.4f}")
-        if step > 0 and step % cfg.save_checkpoints == 0:
+        # save_checkpoints <= 0 = no periodic snapshots (no modulo-crash)
+        if (cfg.save_checkpoints > 0 and step > 0
+                and step % cfg.save_checkpoints == 0):
             save_checkpoint(
                 os.path.join(args.save_dir, f"cl_checkpoint_{step}"),
                 trainer.state.params, trainer.state.batch_stats, cfg,

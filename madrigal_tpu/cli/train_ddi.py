@@ -346,7 +346,10 @@ def main(argv=None):
         mlog.log({f"train_{k}": v for k, v in losses.items()}, step=epoch)
         logger.info(f"epoch {epoch + 1}/{cfg.num_epochs}: "
                     f"loss={losses['total']:.4f}")
-        if epoch % cfg.evaluate_interval == 0 and epoch > 0:
+        # evaluate_interval <= 0 = never evaluate mid-run (the final
+        # sweep below still runs); a 0 interval must not modulo-crash
+        if (cfg.evaluate_interval > 0 and epoch > 0
+                and epoch % cfg.evaluate_interval == 0):
             key = run_eval_sweep(epoch)
             # resumable snapshot (params + optimizer state + epoch)
             save_checkpoint(

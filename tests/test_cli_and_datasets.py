@@ -198,3 +198,22 @@ def test_cli_modality_pretrain_all_four_then_cl(tmp_path):
         "--set", "encoder.proj.hidden_dims=[32,32]",
     ])
     assert os.path.exists(str(tmp_path / "s2" / "cl_last"))
+
+
+def test_set_value_parsing():
+    """--set value coercion: Python-style bool/None spellings must not
+    fall through as truthy strings (a silent opposite-of-intent for
+    `--set encoder.hgt.remat_edge_types=False`)."""
+    from madrigal_tpu.cli.common import _parse_value
+
+    assert _parse_value("false") is False
+    assert _parse_value("False") is False
+    assert _parse_value("TRUE") is True
+    assert _parse_value("true") is True
+    assert _parse_value("none") is None
+    assert _parse_value("null") is None
+    assert _parse_value("3") == 3
+    assert _parse_value("0.5") == 0.5
+    assert _parse_value("[16,16]") == [16, 16]
+    assert _parse_value("bfloat16") == "bfloat16"
+    assert _parse_value("x-attn") == "x-attn"
