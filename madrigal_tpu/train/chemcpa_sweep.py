@@ -13,11 +13,13 @@ select the best config by test R2.
 from __future__ import annotations
 
 import dataclasses
+import gc
 import json
 import math
 import time
 from typing import Dict, List, Optional, Tuple
 
+import jax
 import numpy as np
 
 from ..config import ChemCPAConfig
@@ -229,10 +231,6 @@ def run_chemcpa_sweep(
         # (measured as cumulative HBM exhaustion in the finetune-scale
         # sweeps; a 100-config random block hits the same wall). Live
         # arrays we still reference (best_vars) are unaffected.
-        import gc
-
-        import jax
-
         jax.clear_caches()
         gc.collect()
     if fh:
