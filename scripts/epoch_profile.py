@@ -75,6 +75,7 @@ def main():
     ap.add_argument("--fusion_chunk", type=int, default=512)
     ap.add_argument("--no_fusion_remat", action="store_true")
     ap.add_argument("--no_remat_forwards", action="store_true")
+    ap.add_argument("--no_hgt_remat", action="store_true")
     ap.add_argument("--kg_chunk", type=int, default=8)
     ap.add_argument("--label_chunk", type=int, default=64)
     ap.add_argument("--small", action="store_true")
@@ -92,7 +93,8 @@ def main():
                        label_chunk=args.label_chunk,
                        fusion_chunk=args.fusion_chunk,
                        fusion_remat=not args.no_fusion_remat,
-                       remat_forwards=not args.no_remat_forwards)
+                       remat_forwards=not args.no_remat_forwards,
+                       hgt_remat=not args.no_hgt_remat)
     t0 = time.perf_counter()
     trainer = FinetuneTrainer(cfg, batch, kg)
     print(f"init: {time.perf_counter() - t0:.0f} s", flush=True)
