@@ -77,6 +77,39 @@ def test_sharded_step_matches_single_device():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
 
 
+def test_sharded_split_forward_matches_single_device():
+    """The flagship 3-forward production path (split_forward_grads +
+    split_share_kg_table) under the dp x label mesh: per-forward grad
+    programs, shared-KG-table cotangent accumulation and the apply step
+    all run on sharded arrays and match single-device numerics."""
+    ds = make_dataset(num_drugs=12, num_labels=8, num_edges=20, seed=23)
+    T = 6 * 20
+    budget = ((T + 3) // 4) * 4
+    batch, kg = DDICollator(ds, split="train", pair_budget=budget)()
+
+    def cfg():
+        return dataclasses.replace(
+            tiny_cfg(8), finetune_mode="str_random_sample",
+            split_forward_grads=True, split_share_kg_table=True)
+
+    t1 = FinetuneTrainer(cfg(), batch, kg)
+    losses_single = t1.train_epoch()
+
+    t2 = FinetuneTrainer(cfg(), batch, kg)
+    mesh = make_train_mesh(8, label_dim=2)
+    shard_finetune_trainer(t2, mesh)
+    with mesh:
+        losses_sharded = t2.train_epoch()
+
+    for k in losses_single:
+        assert abs(losses_single[k] - losses_sharded[k]) < 1e-4, (
+            k, losses_single, losses_sharded)
+    p1 = jax.tree_util.tree_leaves(t1.state.params)
+    p2 = jax.tree_util.tree_leaves(t2.state.params)
+    for a, b in zip(p1, p2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+
 def test_embed_all_drugs_sharded_matches_serial():
     """dp-sharded drug embedding equals the serial embed_all_drugs path."""
     from madrigal_tpu.eval.predict import embed_all_drugs
