@@ -76,6 +76,8 @@ def main():
     ap.add_argument("--no_fusion_remat", action="store_true")
     ap.add_argument("--no_remat_forwards", action="store_true")
     ap.add_argument("--no_hgt_remat", action="store_true")
+    ap.add_argument("--decoder_only", action="store_true",
+                    help="run just the KG-table + decoder/BCE phases")
     ap.add_argument("--kg_chunk", type=int, default=8)
     ap.add_argument("--label_chunk", type=int, default=64)
     ap.add_argument("--small", action="store_true")
@@ -191,6 +193,41 @@ def main():
     times["encode_fwd_bwd"] = timed(encode_fwd_bwd, params, bstats,
                                     tb.head, table, key, cot_z,
                                     label="encode_fwd_bwd")
+
+    # -- decoder + BCE only (label-chunked triples path) --------------
+    from madrigal_tpu.train.losses import masked_bce
+
+    z_all = jnp.asarray(rng.randn(B, d).astype(np.float32))
+
+    def _dec_loss(p, z, b, w, cl):
+        zh, zt = z[b.head_idx], z[b.tail_idx]
+        out = model.apply(
+            {"params": p}, zh, zt, b.labels, cl,
+            method=lambda m, a, c, l, chunk: m.decoder.triples(
+                a, c, l, chunk_labels=chunk,
+                label_chunk=trainer.label_chunk))
+        return masked_bce(out, b.pos_neg, w, cfg.loss_readout)
+
+    dec_loss_fwd = jax.jit(_dec_loss)
+    dargs = (params, z_all, tb, trainer.w_all, trainer.chunk_labels)
+    times["dec_loss_fwd"] = timed(dec_loss_fwd, *dargs,
+                                  label="dec_loss_fwd")
+
+    @jax.jit
+    def dec_loss_fwd_bwd(p, z, b, w, cl):
+        # grads wrt BOTH the decoder weights and the [N, d] embedding
+        # table (the cotangent the encoder backward consumes)
+        (_, (gp, gz)) = jax.value_and_grad(
+            _dec_loss, argnums=(0, 1))(p, z, b, w, cl)
+        return gz
+
+    times["dec_loss_fwd_bwd"] = timed(dec_loss_fwd_bwd, *dargs,
+                                      label="dec_loss_fwd_bwd")
+
+    if args.decoder_only:
+        for k, v in times.items():
+            print(f"| {k} | {v * 1e3:.0f} |")
+        return
 
     # -- whole loss ---------------------------------------------------
     mh, mt = trainer.masker.sample_epoch()
