@@ -38,6 +38,11 @@ def add_common_args(p: argparse.ArgumentParser):
     p.add_argument("--kg_chunk", type=int, default=8,
                    help="degree-chunked KG edge arenas (numerics-identical"
                         " layout, ~3x faster HGT on TPU; 0 = plain layout)")
+    p.add_argument("--no_src_mxu", action="store_true",
+                   help="drop the source-sorted KG transpose layout "
+                        "(ops/segment_pallas.py MXU backward for the HGT "
+                        "src gathers; on by default, numerics-identical "
+                        "up to f32 re-association)")
 
 
 def _parse_value(v: str):
@@ -91,5 +96,6 @@ def load_data(args: argparse.Namespace) -> Tuple[SyntheticDataset, DDICollator]:
 
         ds = load_reference_dataset(args.data_dir)
     coll = DDICollator(ds, split="train", seed=args.seed,
-                       kg_edge_chunk=getattr(args, "kg_chunk", 0))
+                       kg_edge_chunk=getattr(args, "kg_chunk", 0),
+                       kg_src_sort=not getattr(args, "no_src_mxu", False))
     return ds, coll

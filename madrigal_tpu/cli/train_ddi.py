@@ -132,7 +132,8 @@ def main(argv=None):
         from ..data.collate import DDICollator
 
         coll = DDICollator(ds, split="train", seed=args.seed,
-                           kg_edge_chunk=args.kg_chunk)
+                           kg_edge_chunk=args.kg_chunk,
+                           kg_src_sort=not args.no_src_mxu)
     elif args.data_dir and not args.all_train:
         from ..data.datasets import load_reference_dataset
 
@@ -165,7 +166,8 @@ def main(argv=None):
         from ..data.collate import DDICollator
 
         coll = DDICollator(ds, split="train", seed=args.seed,
-                           kg_edge_chunk=args.kg_chunk)
+                           kg_edge_chunk=args.kg_chunk,
+                           kg_src_sort=not args.no_src_mxu)
     cfg = TrainConfig(seed=args.seed, finetune_mode=args.finetune_mode)
     cfg = apply_overrides(cfg, args)
     for field in ("num_epochs", "warmup_epochs", "evaluate_interval"):

@@ -119,6 +119,14 @@ class HGTConfig:
     # statistics, and segment-sum accumulation stay float32. Default
     # float32 = exact reference-parity numerics.
     compute_dtype: str = "float32"
+    # use the source-sorted MXU backward for the src gathers when the KG
+    # batch carries the layout (build_kg_batch(src_sort=True)): the
+    # gather's transpose becomes a permutation gather + Pallas one-hot
+    # segment sum (ops/segment_pallas.py) instead of XLA's unsorted
+    # [E]-row scatter-add (measured 37.5 vs 133.6 ms at [8.3M, 128] f32,
+    # scripts/segment_bench.py). f32/bf16 only; f64 parity paths fall
+    # back automatically.
+    src_sorted_bwd: bool = True
 
 
 @dataclass(frozen=True)

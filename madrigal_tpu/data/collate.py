@@ -56,6 +56,7 @@ class DDICollator:
         pair_budget: Optional[int] = None,
         seed: int = 0,
         kg_edge_chunk: int = 0,
+        kg_src_sort: bool = False,
     ):
         self.ds = ds
         self.split = split
@@ -67,6 +68,9 @@ class DDICollator:
         # degree-chunked KG arenas (data/kg.py KGMetadata.edge_chunk):
         # numerics-identical, ~3x faster HGT message passing on TPU
         self.kg_edge_chunk = kg_edge_chunk
+        # source-sorted transpose layout for the HGT backward (data/kg.py
+        # edge_src_order; ops/segment_pallas.py MXU segment sum)
+        self.kg_src_sort = kg_src_sort
         self.kg_row_lut = drug_row_lookup(ds.kg_drug_ids, ds.num_drugs)
 
         if self.num_neg:
@@ -137,6 +141,7 @@ class DDICollator:
             )
             return sub
         kw.setdefault("edge_chunk", self.kg_edge_chunk)
+        kw.setdefault("src_sort", self.kg_src_sort)
         return build_kg_batch(
             ds.kg_node_feats, ds.kg_edge_indices, ds.kg_drug_ids, **kw
         )

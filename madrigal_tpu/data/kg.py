@@ -87,6 +87,17 @@ class HeteroKGBatch:
         default_factory=dict)
     edge_src_chunk: Dict[str, jnp.ndarray] = dataclasses.field(
         default_factory=dict)
+    # source-sorted transpose layout (backward-pass; ops/gather.py
+    # gather_rows_mxu + ops/segment_pallas.py). NO run padding:
+    # edge_src_order[k]: [E] int32 edge positions sorted by source node,
+    #   real edges first (masked/padding rows last);
+    # edge_src_starts[k]: [n_src + 1] int32 boundary table over that
+    #   order (starts[n_src] = number of real edges).
+    # Empty dicts unless built with src_sort=True.
+    edge_src_order: Dict[str, jnp.ndarray] = dataclasses.field(
+        default_factory=dict)
+    edge_src_starts: Dict[str, jnp.ndarray] = dataclasses.field(
+        default_factory=dict)
 
     def num_nodes(self, node_type: str) -> int:
         return self.node_feats[node_type].shape[0]
@@ -165,6 +176,20 @@ def _src_transpose_arena(src: np.ndarray, msk: np.ndarray, chunk: int,
     return perm, chunk_src
 
 
+def _src_sort_layout(src: np.ndarray, msk: np.ndarray, n_src: int):
+    """Source-sorted transpose layout for one edge type (see
+    HeteroKGBatch.edge_src_order): positions of real edges sorted by
+    source node, masked/padding rows last, plus the [n_src + 1]
+    segment-boundary table consumed by ops/segment_pallas.py."""
+    e = src.shape[0]
+    key = np.where(msk, src.astype(np.int64), np.int64(n_src) + 1)
+    order = np.argsort(key, kind="stable").astype(np.int32)
+    n_real = int(msk.sum())
+    starts = np.searchsorted(
+        src[order[:n_real]], np.arange(n_src + 1)).astype(np.int32)
+    return order, starts
+
+
 def build_kg_batch(
     node_feats: Dict[str, np.ndarray],
     edge_indices: Dict[EdgeType, np.ndarray],  # [2, E] per canonical triple
@@ -174,6 +199,7 @@ def build_kg_batch(
     sort_edges: bool = False,
     edge_chunk: int = 0,
     src_arena: bool | None = None,
+    src_sort: bool | None = None,
 ) -> HeteroKGBatch:
     """Assemble a padded HeteroKGBatch from host arrays.
 
@@ -200,9 +226,12 @@ def build_kg_batch(
     )
     if src_arena is None:
         src_arena = False
+    if src_sort is None:
+        src_sort = False
     n_nodes = {k: np.asarray(v).shape[0] for k, v in node_feats.items()}
     src_d, dst_d, mask_d, cdst_d = {}, {}, {}, {}
     sperm_d, schunk_d = {}, {}
+    sorder_d, sstarts_d = {}, {}
     for et, ei in edge_indices.items():
         k = edge_key(et)
         ei = np.asarray(ei)
@@ -237,6 +266,10 @@ def build_kg_batch(
                     src, msk, edge_chunk, pad_multiple)
                 sperm_d[k] = jnp.asarray(perm)
                 schunk_d[k] = jnp.asarray(chunk_src)
+            if src_sort:
+                order, starts = _src_sort_layout(src, msk, n_nodes[et[0]])
+                sorder_d[k] = jnp.asarray(order)
+                sstarts_d[k] = jnp.asarray(starts)
             continue
         if sort_edges and ei.shape[1]:
             order = np.argsort(ei[1], kind="stable")
@@ -256,6 +289,10 @@ def build_kg_batch(
         src_d[k], dst_d[k], mask_d[k] = (
             jnp.asarray(src), jnp.asarray(dst), jnp.asarray(msk),
         )
+        if src_sort:
+            order, starts = _src_sort_layout(src, msk, n_nodes[et[0]])
+            sorder_d[k] = jnp.asarray(order)
+            sstarts_d[k] = jnp.asarray(starts)
     return HeteroKGBatch(
         node_feats={k: jnp.asarray(v, jnp.float32) for k, v in node_feats.items()},
         edge_src=src_d,
@@ -266,6 +303,8 @@ def build_kg_batch(
         edge_chunk_dst=cdst_d,
         edge_src_perm=sperm_d,
         edge_src_chunk=schunk_d,
+        edge_src_order=sorder_d,
+        edge_src_starts=sstarts_d,
     )
 
 

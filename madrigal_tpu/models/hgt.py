@@ -34,7 +34,8 @@ import jax.numpy as jnp
 
 from ..config import HGTConfig
 from ..data.kg import HeteroKGBatch, edge_key
-from ..ops.gather import gather_rows
+from ..ops.gather import gather_rows, gather_rows_mxu
+from ..ops.segment_pallas import supports_mxu_segment_sum
 from ..ops.segment import (
     chunked_segment_softmax,
     chunked_segment_sum,
@@ -43,11 +44,24 @@ from ..ops.segment import (
 )
 
 
-def _src_gather(table, src, src_perm, src_chunk, chunk: int):
-    """Gather node rows by edge source; when the batch carries a
-    source-transpose arena, route the backward through the sorted-chunk
-    scatter (ops/gather.py -- unsorted [E]-row scatters run ~5x slower
-    than gathers on TPU)."""
+def _src_gather(table, src, src_bwd, chunk: int):
+    """Gather node rows by edge source, routing the BACKWARD through the
+    fastest transpose the batch's layout supports (unsorted [E]-row
+    scatter-adds run ~5x slower than gathers on TPU):
+
+      src_bwd = (src_perm, src_chunk, src_order, src_starts), any of which
+      may be None. Preference order:
+      1. src_order/src_starts (build_kg_batch(src_sort=True)): permutation
+         gather + MXU one-hot segment sum, no padding (ops/gather.py
+         gather_rows_mxu) -- requires f32/bf16 tables, 128-aligned width;
+      2. src_perm/src_chunk (src_arena=True): sorted-chunk scatter, a
+         measured negative result at full scale (kept as opt-in);
+      3. plain gather (XLA emits the unsorted scatter-add transpose).
+    """
+    src_perm, src_chunk, src_order, src_starts = src_bwd
+    if src_order is not None and supports_mxu_segment_sum(
+            table.dtype, table.shape[-1]):
+        return gather_rows_mxu(table, src, src_order, src_starts)
     if src_perm is None:
         return table[src]
     return gather_rows(table, src, src_perm, src_chunk, chunk)
@@ -84,7 +98,7 @@ def _casters(compute_dtype):
 
 
 def _edge_type_messages(q_dst, k_src, v_src, k_rel, v_rel, p_rel,
-                        src, dst, mask, n_dst: int, axis_name=None,
+                        src, dst, mask, src_bwd, n_dst: int, axis_name=None,
                         indices_are_sorted: bool = False,
                         compute_dtype=jnp.float32):
     """One edge type's attention aggregate [n_dst, F] (pure arrays so it
@@ -115,7 +129,8 @@ def _edge_type_messages(q_dst, k_src, v_src, k_rel, v_rel, p_rel,
     # (segment_bench: [E,128] 32 GB/s vs [E,256] ~2x the bytes/s), so the
     # fused gather halves the backward's scatter-add cost. Exact numerics
     # (gather of a concat == concat of the gathers).
-    kv_g = jnp.concatenate([k_s, v_s], axis=-1)[src]  # [E, 2F]
+    kv_g = _src_gather(jnp.concatenate([k_s, v_s], axis=-1),
+                       src, src_bwd, 0)  # [E, 2F]
     q_c = cast(q_dst)
     dst_safe = jnp.where(mask, dst, n_dst)
     prod = up(q_c[dst] * kv_g[:, :F])  # [E, F]
@@ -134,7 +149,7 @@ def _edge_type_messages(q_dst, k_src, v_src, k_rel, v_rel, p_rel,
 
 
 def _edge_type_messages_chunked(q_dst, k_src, v_src, k_rel, v_rel, p_rel,
-                                src, mask, chunk_dst, src_perm, src_chunk,
+                                src, mask, chunk_dst, src_bwd,
                                 n_dst: int,
                                 chunk: int, axis_name=None,
                                 indices_are_sorted: bool = True,
@@ -155,7 +170,7 @@ def _edge_type_messages_chunked(q_dst, k_src, v_src, k_rel, v_rel, p_rel,
     # fused k|v gather: one [E, 2F] gather / one backward scatter (row-
     # rate-bound; see _edge_type_messages)
     kv_g = _src_gather(jnp.concatenate([k_s, v_s], axis=-1),
-                       src, src_perm, src_chunk, chunk)  # [E, 2F]
+                       src, src_bwd, chunk)  # [E, 2F]
     prod = up(q_chunk[:, None] * kv_g[:, :F].reshape(-1, chunk, F))
     logits = (
         prod.reshape(-1, H, D).sum(axis=-1)
@@ -179,6 +194,7 @@ class HGTConv(nn.Module):
     remat_edge_types: bool = False
     shard_axis: str | None = None
     compute_dtype: str = "float32"
+    src_sorted_bwd: bool = True
 
     @nn.compact
     def __call__(self, g: HeteroKGBatch, x_dict: Dict[str, jnp.ndarray]):
@@ -195,9 +211,9 @@ class HGTConv(nn.Module):
             import jax
 
             edge_fn = jax.checkpoint(_edge_type_messages,
-                                     static_argnums=(9, 10, 11, 12))
+                                     static_argnums=(10, 11, 12, 13))
             edge_fn_c = jax.checkpoint(_edge_type_messages_chunked,
-                                       static_argnums=(11, 12, 13, 14, 15))
+                                       static_argnums=(10, 11, 12, 13, 14))
 
         # node tables stay flat [N, F] (h-major lanes); per-head structure
         # only surfaces in the [E, H] logits (see _block_diag)
@@ -228,12 +244,17 @@ class HGTConv(nn.Module):
             dst = g.edge_dst[ek]
             mask = g.edge_mask[ek]
             n_dst = g.num_nodes(dst_t)
-            # source-transpose arenas index the GLOBAL edge axis, so they
+            # source-transpose layouts index the GLOBAL edge axis, so they
             # are unusable when the edge axis is sharded over a mesh axis
-            sperm = (g.edge_src_perm.get(ek)
-                     if self.shard_axis is None else None)
-            schunk = (g.edge_src_chunk.get(ek)
-                      if self.shard_axis is None else None)
+            if self.shard_axis is None:
+                src_bwd = (g.edge_src_perm.get(ek),
+                           g.edge_src_chunk.get(ek),
+                           g.edge_src_order.get(ek) if self.src_sorted_bwd
+                           else None,
+                           g.edge_src_starts.get(ek) if self.src_sorted_bwd
+                           else None)
+            else:
+                src_bwd = (None, None, None, None)
 
             if self.softmax_scope == "global":
                 # global scope must hold every type's logits/values until
@@ -244,7 +265,7 @@ class HGTConv(nn.Module):
                 if chunk > 0:
                     chunk_dst = g.edge_chunk_dst[ek]
                     q_chunk = cast(q_dict[dst_t])[chunk_dst]  # [E/c, F]
-                    kv_g = _src_gather(kv_s, src, sperm, schunk, chunk)
+                    kv_g = _src_gather(kv_s, src, src_bwd, chunk)
                     prod = up(q_chunk[:, None]
                               * kv_g[:, :F].reshape(-1, chunk, F))
                     logits = (
@@ -256,7 +277,7 @@ class HGTConv(nn.Module):
                         (logits, kv_g[:, F:], chunk_dst, mask))
                     continue
                 dst_safe = jnp.where(mask, dst, n_dst)
-                kv_g = kv_s[src]  # [E, 2F]
+                kv_g = _src_gather(kv_s, src, src_bwd, 0)  # [E, 2F]
                 prod = up(cast(q_dict[dst_t])[dst] * kv_g[:, :F])
                 logits = (
                     prod.reshape(-1, H, D).sum(axis=-1)
@@ -278,13 +299,13 @@ class HGTConv(nn.Module):
                 out = edge_fn_c(
                     q_dict[dst_t], k_dict[src_t], v_dict[src_t],
                     k_rel, v_rel, p_rel, src, mask, chunk_dst,
-                    sperm, schunk,
+                    src_bwd,
                     n_dst, chunk, self.shard_axis, True, cdt,
                 )
             else:
                 out = edge_fn(
                     q_dict[dst_t], k_dict[src_t], v_dict[src_t],
-                    k_rel, v_rel, p_rel, src, dst, mask, n_dst,
+                    k_rel, v_rel, p_rel, src, dst, mask, src_bwd, n_dst,
                     self.shard_axis, g.metadata.edges_sorted, cdt,
                 )
             if self.remat_edge_types:
@@ -370,6 +391,7 @@ class HGTEncoder(nn.Module):
                                          False),
                 shard_axis=getattr(self.cfg, "shard_axis", None),
                 compute_dtype=getattr(self.cfg, "compute_dtype", "float32"),
+                src_sorted_bwd=getattr(self.cfg, "src_sorted_bwd", True),
                 name=f"conv_{i}",
             )(g, x)
             # reference relu placement (models.py:90-94): relu after conv i

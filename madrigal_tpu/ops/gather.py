@@ -44,6 +44,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .segment import chunked_segment_sum
+from .segment_pallas import sorted_segment_sum_mxu, supports_mxu_segment_sum
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(4,))
@@ -79,3 +80,46 @@ def _gather_rows_bwd(chunk, res, cot):
 
 
 gather_rows.defvjp(_gather_rows_fwd, _gather_rows_bwd)
+
+
+@jax.custom_vjp
+def gather_rows_mxu(table, idx, order, starts):
+    """`table[idx]` whose backward is a sorted MXU segment sum instead of
+    XLA's unsorted row scatter-add.
+
+    Unlike `gather_rows` (the arena approach above, a measured negative
+    result at full scale because of its per-source run padding), this
+    path needs NO padding: the backward (1) permutation-gathers the
+    cotangent rows into source-sorted order (gathers run ~5x faster than
+    unsorted scatters) and (2) reduces each source's ragged run with the
+    one-hot-matmul kernel of ops/segment_pallas.py, which streams rows at
+    DMA rate and accumulates on the MXU.
+
+    Args:
+      table: [N, W] f32/bf16 differentiable row table (W % 128 == 0; use
+        `supports_mxu_segment_sum` to gate).
+      idx: [E] int32 row indices (repeats fine; rows whose cotangent is
+        nonzero must be real edges).
+      order: [E] int32 permutation of the edge axis sorted by `idx` value,
+        real edges first (padding/masked rows -- whose cotangents are
+        zero -- sorted last).
+      starts: [N + 1] int32 boundary table over the sorted order
+        (ops/segment_pallas.segment_starts_np); starts[N] = number of
+        real edges, so trailing padding rows never enter the reduction.
+    """
+    return table[idx]
+
+
+def _gather_rows_mxu_fwd(table, idx, order, starts):
+    return table[idx], (table.shape[0], idx, order, starts)
+
+
+def _gather_rows_mxu_bwd(res, cot):
+    # the gather output carries the table's dtype, hence so does cot
+    n, idx, order, starts = res
+    grad = sorted_segment_sum_mxu(cot[order], starts, n).astype(cot.dtype)
+    f0 = lambda x: np.zeros(x.shape, jax.dtypes.float0)
+    return grad, f0(idx), f0(order), f0(starts)
+
+
+gather_rows_mxu.defvjp(_gather_rows_mxu_fwd, _gather_rows_mxu_bwd)

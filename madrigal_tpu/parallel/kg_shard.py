@@ -30,12 +30,14 @@ from ..data.kg import HeteroKGBatch
 
 
 def strip_src_arenas(kg: HeteroKGBatch) -> HeteroKGBatch:
-    """Drop the source-transpose (backward) arenas before sharding: they
+    """Drop the source-transpose (backward) layouts before sharding: they
     index the GLOBAL edge axis, which no longer exists once edges are
     split over a mesh axis (the HGT falls back to the plain gather whose
     transpose shard_map handles locally)."""
-    if kg.edge_src_perm or kg.edge_src_chunk:
-        return dataclasses.replace(kg, edge_src_perm={}, edge_src_chunk={})
+    if (kg.edge_src_perm or kg.edge_src_chunk or kg.edge_src_order
+            or kg.edge_src_starts):
+        return dataclasses.replace(kg, edge_src_perm={}, edge_src_chunk={},
+                                   edge_src_order={}, edge_src_starts={})
     return kg
 
 

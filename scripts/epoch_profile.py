@@ -76,6 +76,9 @@ def main():
     ap.add_argument("--no_fusion_remat", action="store_true")
     ap.add_argument("--no_remat_forwards", action="store_true")
     ap.add_argument("--no_hgt_remat", action="store_true")
+    ap.add_argument("--no_src_mxu", action="store_true",
+                    help="disable the source-sorted MXU backward "
+                         "(ops/segment_pallas.py)")
     ap.add_argument("--decoder_only", action="store_true",
                     help="run just the KG-table + decoder/BCE phases")
     ap.add_argument("--kg_chunk", type=int, default=8)
@@ -90,13 +93,15 @@ def main():
     rng = np.random.RandomState(0)
     batch, kg = build_scale_data(n_drugs, args.labels,
                                  args.triples // scale, scale, rng,
-                                 kg_chunk=args.kg_chunk)
+                                 kg_chunk=args.kg_chunk,
+                                 kg_src_sort=not args.no_src_mxu)
     cfg = flagship_cfg(args.labels, "full_full", bf16=True,
                        label_chunk=args.label_chunk,
                        fusion_chunk=args.fusion_chunk,
                        fusion_remat=not args.no_fusion_remat,
                        remat_forwards=not args.no_remat_forwards,
-                       hgt_remat=not args.no_hgt_remat)
+                       hgt_remat=not args.no_hgt_remat,
+                       src_mxu=not args.no_src_mxu)
     t0 = time.perf_counter()
     trainer = FinetuneTrainer(cfg, batch, kg)
     print(f"init: {time.perf_counter() - t0:.0f} s", flush=True)

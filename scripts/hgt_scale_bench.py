@@ -65,20 +65,26 @@ EDGE_SPEC = [
 def bwd_bench(node_feats, edges, drug_ids):
     """fwd+bwd A/B of the source-transpose backward (ops/gather.py)."""
     variants = [
+        ("chunk8+src_mxu",
+         build_kg_batch(node_feats, edges, drug_ids=drug_ids, edge_chunk=8,
+                        src_sort=True)),
         ("chunk8_plain",
          build_kg_batch(node_feats, edges, drug_ids=drug_ids, edge_chunk=8)),
         ("unchunked",
          build_kg_batch(node_feats, edges, drug_ids=drug_ids)),
     ]
     if "--src_arena" in sys.argv:
-        variants.insert(0, (
+        variants.insert(1, (
             "chunk8+src_arena",
             build_kg_batch(node_feats, edges, drug_ids=drug_ids,
                            edge_chunk=8, src_arena=True)))
-    for scope, dtype in (("per_edge_type", "float32"),
-                         ("per_edge_type", "bfloat16"),
-                         ("global", "float32"),
-                         ("global", "bfloat16")):
+    combos = (("per_edge_type", "float32"),
+              ("per_edge_type", "bfloat16"),
+              ("global", "float32"),
+              ("global", "bfloat16"))
+    if "--production" in sys.argv:  # only the training-recipe scope
+        combos = combos[:2]
+    for scope, dtype in combos:
         for vname, kg in variants:
             # remat_edge_types: full-scale f32 fwd+bwd without it OOMs a
             # single v5e chip (15.84/15.75 G HBM); production training
@@ -121,6 +127,9 @@ def main():
                          "backward arenas")
     ap.add_argument("--platform_cpu", action="store_true",
                     help="force the CPU backend (sanity runs)")
+    ap.add_argument("--production", action="store_true",
+                    help="--bwd: only the per_edge_type (training-recipe) "
+                         "scope combos")
     args = ap.parse_args()
     scale = 16 if args.small else 1
 

@@ -102,7 +102,8 @@ def build_ds(n_drugs, scale, rng):
     return ds
 
 
-def run_one(coll, kg, bsz, n_drugs, bf16, hgt_remat, reps=5):
+def run_one(coll, kg, bsz, n_drugs, bf16, hgt_remat, reps=5,
+            src_mxu=True):
     """Build a CLPretrainer for one config and time the jitted step."""
     cdt = "bfloat16" if bf16 else "float32"
     enc = EncoderConfig(
@@ -110,7 +111,7 @@ def run_one(coll, kg, bsz, n_drugs, bf16, hgt_remat, reps=5):
         gin=GINConfig(hidden_dims=(128, 128, 128), num_mlp_layer=3),
         hgt=HGTConfig(hidden_dim=128, num_layers=2, att_heads=4,
                       remat_edge_types=hgt_remat,
-                      compute_dtype=cdt),
+                      compute_dtype=cdt, src_sorted_bwd=src_mxu),
         chemcpa=ChemCPAConfig(dim=128, autoencoder_width=512,
                               autoencoder_depth=2, use_drugs=False),
         transformer=FusionConfig(
@@ -150,6 +151,8 @@ def run_one(coll, kg, bsz, n_drugs, bf16, hgt_remat, reps=5):
     tag = ["bf16" if bf16 else "f32"]
     if not hgt_remat:
         tag.append("no-hgt-remat")
+    if src_mxu and (kg.edge_src_order or {}):
+        tag.append("src-mxu")
     steps_per_epoch = -(-len(trainer.drug_ids) // bsz)
     total_min = dt * 1500 * steps_per_epoch / 60
     print(
@@ -169,11 +172,14 @@ def main():
     ap.add_argument("--batch", type=int, default=768)
     ap.add_argument("--bf16", action="store_true")
     ap.add_argument("--kg_chunk", type=int, default=0)
+    ap.add_argument("--src_mxu", action="store_true",
+                    help="source-sorted MXU backward for the HGT src "
+                         "gathers (ops/segment_pallas.py)")
     ap.add_argument("--no_hgt_remat", action="store_true",
                     help="disable hgt.remat_edge_types (more HBM, no "
                          "per-edge-type recompute in the backward)")
     ap.add_argument("--sweep", action="store_true",
-                    help="measure f32 / bf16 / bf16+no-hgt-remat in one "
+                    help="A/B the production configs incl. the MXU src backward "
                          "process (one data build, shared tunnel warmup)")
     ap.add_argument("--platform_cpu", action="store_true",
                     help="smoke-testing only (handled at import time)")
@@ -185,31 +191,38 @@ def main():
     rng = np.random.RandomState(0)
     print(f"building {n_drugs} drugs + PrimeKG/{scale} ...", flush=True)
     ds = build_ds(n_drugs, scale, rng)
-    coll = DDICollator(ds, split="train", kg_edge_chunk=args.kg_chunk)
+    coll = DDICollator(ds, split="train", kg_edge_chunk=args.kg_chunk,
+                       kg_src_sort=args.src_mxu or args.sweep)
     kg = coll.kg_batch()
 
     if args.sweep:
+        # sweep: A/B the MXU backward on the two production configs
         results = []
-        for bf16, hrm in ((False, True), (True, True), (True, False)):
+        for bf16, hrm, mxu in ((True, False, False), (True, False, True),
+                               (True, True, True), (False, True, True)):
             try:
-                dt = run_one(coll, kg, bsz, n_drugs, bf16, hrm)
+                dt = run_one(coll, kg, bsz, n_drugs, bf16, hrm,
+                             src_mxu=mxu)
             except Exception as e:  # OOM / compile failure: record, go on
-                print(f"[bf16={bf16} hgt_remat={hrm}] FAILED: "
-                      f"{type(e).__name__}: {str(e)[:200]}", flush=True)
+                print(f"[bf16={bf16} hgt_remat={hrm} src_mxu={mxu}] "
+                      f"FAILED: {type(e).__name__}: {str(e)[:200]}",
+                      flush=True)
                 dt = None
-            results.append((bf16, hrm, dt))
+            results.append((bf16, hrm, mxu, dt))
             # drop each config's jit closures (trainer params/opt state)
             # -- the cross-config leak that OOM'd the finetune sweeps
             import gc
             jax.clear_caches()
             gc.collect()
         print("--- sweep:", flush=True)
-        for bf16, hrm, dt in results:
-            print(f"    bf16={int(bf16)} hgt_remat={int(hrm)}: "
+        for bf16, hrm, mxu, dt in results:
+            print(f"    bf16={int(bf16)} hgt_remat={int(hrm)} "
+                  f"src_mxu={int(mxu)}: "
                   f"{'FAIL' if dt is None else '%.2f s/step' % dt}",
                   flush=True)
         return
-    run_one(coll, kg, bsz, n_drugs, args.bf16, not args.no_hgt_remat)
+    run_one(coll, kg, bsz, n_drugs, args.bf16, not args.no_hgt_remat,
+            src_mxu=args.src_mxu)
 
 
 if __name__ == "__main__":

@@ -72,6 +72,13 @@ def gather_only(table, ids):
     return table[ids].sum(axis=0)
 
 
+def seg_pallas(data, starts):
+    # ops/segment_pallas.py: sorted rows -> per-segment-block one-hot
+    # matmuls on the MXU, double-buffered HBM->VMEM DMA, no scatter
+    from madrigal_tpu.ops.segment_pallas import sorted_segment_sum_mxu
+    return sorted_segment_sum_mxu(data, starts, N)
+
+
 @jax.jit
 def seg_chunked(data, chunk_dst):
     # degree-chunked layout (ops/segment.chunked_segment_sum): streaming
@@ -120,10 +127,15 @@ def main():
     ids_sj = jnp.asarray(ids_s)
     ends_j = jnp.asarray(ends)
 
+    starts_j = jnp.asarray(np.concatenate([[0], ends]).astype(np.int32))
+
     ref = np.asarray(seg_unsorted(data, ids_sj))
     got = np.asarray(seg_cumsum(data, ends_j))
     err = np.max(np.abs(ref - got)) / max(np.max(np.abs(ref)), 1e-9)
     print(f"cumsum vs scatter rel err: {err:.2e}")
+    got_p = np.asarray(seg_pallas(data, starts_j))
+    err_p = np.max(np.abs(ref - got_p)) / max(np.max(np.abs(ref)), 1e-9)
+    print(f"pallas vs scatter rel err: {err_p:.2e}")
 
     # chunked layout: every 8 consecutive (sorted) slots share one dst.
     # Using sorted ids rounded down to chunk boundaries approximates the
@@ -138,6 +150,7 @@ def main():
         ("c_cumsum_boundaries", seg_cumsum, (data, ends_j)),
         ("d_gather_lower_bound", gather_only, (table, ids_u)),
         ("e_chunked8_reduce_scatter", seg_chunked, (data, chunk_dst_j)),
+        ("f_pallas_mxu_sorted", seg_pallas, (data, starts_j)),
     ):
         dt = timeit(fn, *args)
         print(f"{name}: {dt * 1e3:.1f} ms  "

@@ -58,7 +58,7 @@ from hgt_scale_bench import EDGE_SPEC, NODE_TYPES  # noqa: E402
 
 
 def build_scale_data(n_drugs, n_labels, n_triples, scale, rng,
-                     kg_chunk=0):
+                     kg_chunk=0, kg_src_sort=False):
     print(f"building {n_drugs} drugs / {n_triples} triples ...")
     mols = pack_molecules(
         [random_molecule(rng, int(rng.randint(8, 40)))
@@ -77,7 +77,7 @@ def build_scale_data(n_drugs, n_labels, n_triples, scale, rng,
         ]).astype(np.int32)
     n_kg_drugs = node_feats["drug"].shape[0]
     kg = build_kg_batch(node_feats, edges, drug_ids=np.arange(n_kg_drugs),
-                        edge_chunk=kg_chunk)
+                        edge_chunk=kg_chunk, src_sort=kg_src_sort)
 
     masks = np.zeros((n_drugs, 3 + NUM_CELL_LINES), bool)
     masks[:, 1] = rng.rand(n_drugs) > 0.7   # 70% have KG
@@ -114,13 +114,15 @@ def build_scale_data(n_drugs, n_labels, n_triples, scale, rng,
 
 def flagship_cfg(n_labels, mode, bf16=False, label_chunk=0,
                  split=False, fusion_chunk=512, fusion_remat=True,
-                 remat_forwards=True, share_kg=True, hgt_remat=True):
+                 remat_forwards=True, share_kg=True, hgt_remat=True,
+                 src_mxu=True):
     cdt = "bfloat16" if bf16 else "float32"
     enc = EncoderConfig(
         feature_dim=128,
         gin=GINConfig(hidden_dims=(128, 128, 128), num_mlp_layer=3),
         hgt=HGTConfig(hidden_dim=128, num_layers=2, att_heads=4,
-                      remat_edge_types=hgt_remat, compute_dtype=cdt),
+                      remat_edge_types=hgt_remat, compute_dtype=cdt,
+                      src_sorted_bwd=src_mxu),
         chemcpa=ChemCPAConfig(dim=128, autoencoder_width=512,
                               autoencoder_depth=2, use_drugs=False),
         transformer=FusionConfig(
@@ -221,6 +223,31 @@ def sweep(kind, batch, kg, n_labels, reps=3):
         mk = lambda kw: flagship_cfg(
             n_labels, kw.pop("mode"), bf16=True, label_chunk=64,
             split=kw.pop("split"), **kw)
+    elif kind == "mxu":
+        # A/B the source-sorted MXU backward (ops/segment_pallas.py) on
+        # the two production recipes; KG must be built with src_sort=True
+        # (--src_mxu). Config flips HGTConfig.src_sorted_bwd over ONE
+        # device-resident KG.
+        grid = [
+            ("full:fc512+frm-hrm+mxu",
+             dict(mode="full_full", split=False, remat_forwards=False,
+                  hgt_remat=False, src_mxu=True)),
+            ("full:fc512+frm-hrm",
+             dict(mode="full_full", split=False, remat_forwards=False,
+                  hgt_remat=False, src_mxu=False)),
+            ("full:fc512+frm+mxu",
+             dict(mode="full_full", split=False, remat_forwards=False,
+                  src_mxu=True)),
+            ("split:share+fc512+frm+mxu",
+             dict(mode="str_random_sample", split=True, share_kg=True,
+                  remat_forwards=False, src_mxu=True)),
+            ("split:share+fc512+frm",
+             dict(mode="str_random_sample", split=True, share_kg=True,
+                  remat_forwards=False, src_mxu=False)),
+        ]
+        mk = lambda kw: flagship_cfg(
+            n_labels, kw.pop("mode"), bf16=True, label_chunk=64,
+            split=kw.pop("split"), **kw)
     elif kind == "full2":
         # full_full re-checks after the SCAN_WEIGHT_ROWS cap (fresh
         # process: the r3fix tail OOM'd on cross-config cache leakage)
@@ -287,8 +314,12 @@ def main():
     ap.add_argument("--no_hgt_remat", action="store_true",
                     help="disable hgt.remat_edge_types (more HBM, no "
                          "per-edge-type recompute in the backward)")
+    ap.add_argument("--src_mxu", action="store_true",
+                    help="build the KG with the source-sorted transpose "
+                         "layout (src_sort=True; ops/segment_pallas.py)")
     ap.add_argument("--sweep", type=str, default=None,
-                    choices=[None, "full", "split", "r3fix", "full2"],
+                    choices=[None, "full", "split", "r3fix", "full2",
+                             "mxu"],
                     help="run the built-in config sweep instead of one "
                          "config (amortizes tunnel warmup in-process)")
     ap.add_argument("--platform_cpu", action="store_true",
@@ -301,7 +332,9 @@ def main():
 
     rng = np.random.RandomState(0)
     batch, kg = build_scale_data(n_drugs, args.labels, n_triples, scale,
-                                 rng, kg_chunk=args.kg_chunk)
+                                 rng, kg_chunk=args.kg_chunk,
+                                 kg_src_sort=args.src_mxu or
+                                 args.sweep == "mxu")
     if args.sweep:
         sweep(args.sweep, batch, kg, args.labels)
         return
