@@ -11,6 +11,8 @@ what a user needs to run the same analyses on their own candidate sets.
 """
 from .ddi_queries import (  # noqa: F401
     aggregate_outcomes,
+    cv_validation_auroc,
+    external_validation,
     load_outcome_mapper,
     map_outcome_labels,
     pair_values,

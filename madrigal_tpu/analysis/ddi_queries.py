@@ -134,6 +134,101 @@ def rank_enrichment(
     return mannwhitneyu(x, y, alternative=alternative)
 
 
+def external_validation(values: np.ndarray, targets: np.ndarray,
+                        kind: str = "auto") -> Dict[str, float]:
+    """Predicted pair values vs an external measurement — the fig6
+    validation core (reference: notebooks/fig6/fig6_PDX.ipynb cell 56
+    spearmanr of predictions vs continuous PDX response,
+    fig6_clinical_validation_dfci.ipynb cells 19-43 kendalltau vs
+    observed adverse-event proportions + roc_auc_score on binary
+    labels).
+
+    kind: 'binary' -> AUROC/AUPRC; 'continuous' -> spearman + kendall
+    rank correlations with p-values; 'auto' picks binary when targets
+    take exactly the values {0, 1}.
+    """
+    values = np.asarray(values, np.float64).ravel()
+    targets = np.asarray(targets, np.float64).ravel()
+    if values.shape != targets.shape:
+        raise ValueError(f"{values.shape} values vs {targets.shape} targets")
+    keep = np.isfinite(values) & np.isfinite(targets)
+    values, targets = values[keep], targets[keep]
+    if kind == "auto":
+        kind = ("binary" if set(np.unique(targets)) <= {0.0, 1.0}
+                else "continuous")
+    out: Dict[str, float] = {"kind": kind, "n": int(values.size)}
+    if kind == "binary":
+        from sklearn.metrics import average_precision_score, roc_auc_score
+
+        two = len(np.unique(targets)) == 2
+        out["auroc"] = float(roc_auc_score(targets, values)) if two else float("nan")
+        out["auprc"] = (float(average_precision_score(targets, values))
+                        if targets.sum() else float("nan"))
+        out["prevalence"] = float(targets.mean())
+        return out
+    from scipy.stats import kendalltau, spearmanr
+
+    sp = spearmanr(values, targets)
+    kt = kendalltau(values, targets)
+    out["spearman"] = float(sp.statistic)
+    out["spearman_pvalue"] = float(sp.pvalue)
+    out["kendall"] = float(kt.statistic)
+    out["kendall_pvalue"] = float(kt.pvalue)
+    return out
+
+
+def cv_validation_auroc(
+    features: np.ndarray,
+    y: np.ndarray,
+    folds: int = 5,
+    alphas: Sequence[float] = (1e-3, 1e-2, 1e-1, 1.0, 10.0),
+    seed: int = 0,
+) -> Dict[str, float]:
+    """k-fold CV AUROC of an L2-regularized logistic model over
+    per-outcome prediction features (reference:
+    fig6_clinical_validation_dfci.ipynb cells 49/54 — features are the
+    candidate pairs' predicted values across outcome labels; the
+    regularization strength is chosen by mean fold AUROC).
+
+    Returns {'auroc': best mean fold AUROC, 'auroc_std', 'alpha',
+    'folds'}. Deterministic shuffled fold assignment from `seed`.
+    """
+    from sklearn.linear_model import LogisticRegression
+    from sklearn.metrics import roc_auc_score
+
+    x = np.asarray(features, np.float64)
+    if x.ndim == 1:
+        x = x[:, None]
+    y = np.asarray(y, np.float64).ravel()
+    if x.shape[0] != y.size:
+        raise ValueError(f"{x.shape[0]} feature rows vs {y.size} targets")
+    p = x.shape[0]
+    folds = min(folds, int(y.sum()), int((1 - y).sum()))
+    if folds < 2:
+        raise ValueError("need >= 2 positives and negatives for CV folds")
+    rng = np.random.RandomState(seed)
+    # class-stratified shuffled fold ids (the notebook's StratifiedKFold)
+    fold_id = np.empty(p, np.int64)
+    for cls in (0, 1):
+        idx = np.flatnonzero(y == cls)
+        rng.shuffle(idx)
+        fold_id[idx] = np.arange(idx.size) % folds
+    best = {"auroc": -np.inf}
+    for alpha in alphas:
+        fold_aurocs = []
+        for f in range(folds):
+            tr, va = fold_id != f, fold_id == f
+            clf = LogisticRegression(C=1.0 / alpha, max_iter=2000)
+            clf.fit(x[tr], y[tr])
+            fold_aurocs.append(
+                roc_auc_score(y[va], clf.decision_function(x[va])))
+        mean = float(np.mean(fold_aurocs))
+        if mean > best["auroc"]:
+            best = {"auroc": mean, "auroc_std": float(np.std(fold_aurocs)),
+                    "alpha": float(alpha), "folds": int(folds)}
+    return best
+
+
 def load_outcome_mapper(path: str) -> Dict[str, Dict[str, List[str]]]:
     """notebooks/outcome_mapper.json: canonical outcome ->
     {dataset: [label names]}."""

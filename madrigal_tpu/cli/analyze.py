@@ -33,6 +33,8 @@ import numpy as np
 
 from ..analysis import (
     aggregate_outcomes,
+    cv_validation_auroc,
+    external_validation,
     load_outcome_mapper,
     map_outcome_labels,
     pair_values,
@@ -120,6 +122,16 @@ def main(argv=None):
                    help="collapse the selected labels to one [N, N] matrix")
     p.add_argument("--out", type=str, default=None,
                    help="output .npy for --aggregate")
+    p.add_argument("--validate", type=str, default=None, metavar="CSV",
+                   help="external-validation file: rows 'A B target'; "
+                        "binary targets -> AUROC/AUPRC, continuous -> "
+                        "spearman/kendall vs the --label (or --aggregate) "
+                        "matrix values (fig6 protocol)")
+    p.add_argument("--cv_auroc", action="store_true",
+                   help="with --validate + binary targets: 5-fold CV "
+                        "AUROC of an L2 logistic model over the selected "
+                        "labels' values as per-pair features "
+                        "(fig6_clinical_validation_dfci protocol)")
     args = p.parse_args(argv)
 
     tensor = np.load(args.tensor, mmap_mode="r")
@@ -182,6 +194,32 @@ def main(argv=None):
                 "statistic": float(res.statistic),
                 "pvalue": float(res.pvalue),
                 "alternative": args.alternative,
+            }
+
+    if args.validate is not None:
+        rows = np.loadtxt(args.validate, dtype=np.float64, ndmin=2)
+        if rows.shape[1] < 3:
+            raise SystemExit("--validate rows need 3 columns: A B target")
+        vpairs = rows[:, :2].astype(np.int64)
+        targets = rows[:, 2]
+        if args.cv_auroc:
+            labels = _resolve_labels(args, L)
+            feats = pair_values(tensor, vpairs, labels).T  # [P, L']
+            result["cv_auroc"] = {"labels": labels,
+                                  **cv_validation_auroc(feats, targets)}
+        else:
+            if agg_mat is not None:
+                mat, mat_label = agg_mat, f"aggregate:{args.aggregate}"
+            elif args.label is not None:
+                mat, mat_label = np.asarray(tensor[args.label]), args.label
+            else:
+                raise SystemExit("--validate needs --label (or --aggregate,"
+                                 " or --cv_auroc over --labels)")
+            a = np.maximum(vpairs[:, 0], vpairs[:, 1])
+            b = np.minimum(vpairs[:, 0], vpairs[:, 1])
+            result["validation"] = {
+                "label": mat_label,
+                **external_validation(mat[a, b], targets),
             }
 
     json.dump(result, sys.stdout, indent=1)

@@ -7,6 +7,8 @@ import pytest
 
 from madrigal_tpu.analysis import (
     aggregate_outcomes,
+    cv_validation_auroc,
+    external_validation,
     load_outcome_mapper,
     map_outcome_labels,
     pair_values,
@@ -165,6 +167,94 @@ def test_analyze_cli_end_to_end(rank_tensor, tmp_path, capsys):
           "--label_names", str(tmp_path / "names.txt")])
     out = json.loads(capsys.readouterr().out)
     assert out["pairs"]["labels"] == [1, 3]
+
+
+def test_external_validation_binary_and_continuous():
+    rng = np.random.RandomState(5)
+    # binary: values strictly separate classes -> AUROC 1
+    y = (rng.rand(60) > 0.5).astype(float)
+    vals = y * 2 + rng.rand(60)  # positives strictly above negatives
+    res = external_validation(vals, y)
+    assert res["kind"] == "binary" and res["auroc"] == 1.0
+    np.testing.assert_allclose(res["auprc"], 1.0, rtol=1e-12)
+    assert res["n"] == 60
+
+    # continuous: monotone relation -> spearman 1, tiny p
+    t = rng.randn(40)
+    res = external_validation(np.tanh(t), t)
+    assert res["kind"] == "continuous"
+    np.testing.assert_allclose(res["spearman"], 1.0)
+    assert res["spearman_pvalue"] < 1e-10
+    assert 0.9 < res["kendall"] <= 1.0
+
+    # anti-correlated + NaN filtering
+    vals = -t.copy()
+    vals[3] = np.nan
+    res = external_validation(vals, t, kind="continuous")
+    assert res["n"] == 39 and res["spearman"] < -0.99
+
+    with pytest.raises(ValueError):
+        external_validation(np.zeros(3), np.zeros(4))
+
+
+def test_cv_validation_auroc():
+    rng = np.random.RandomState(7)
+    n = 120
+    y = (rng.rand(n) > 0.5).astype(float)
+    # informative feature + noise feature: CV AUROC well above chance
+    feats = np.stack([y * 3 + rng.randn(n), rng.randn(n)], axis=1)
+    res = cv_validation_auroc(feats, y, folds=5)
+    assert res["auroc"] > 0.9 and res["folds"] == 5
+    assert res["alpha"] in (1e-3, 1e-2, 1e-1, 1.0, 10.0)
+    # pure-noise features: near chance
+    res_noise = cv_validation_auroc(rng.randn(n, 2), y, folds=5)
+    assert res_noise["auroc"] < 0.75
+    # degenerate: single positive cannot form folds
+    with pytest.raises(ValueError):
+        cv_validation_auroc(feats[:4], np.array([1.0, 0, 0, 0]))
+
+
+def test_analyze_cli_validate(rank_tensor, tmp_path, capsys):
+    """--validate / --cv_auroc: the fig6 external-validation protocol on
+    an exported tensor."""
+    from madrigal_tpu.cli.analyze import main
+
+    tpath = tmp_path / "ranks.npy"
+    np.save(tpath, np.asarray(rank_tensor, np.float32))
+    mat = np.asarray(rank_tensor[2], np.float64)
+
+    # binary targets: top pairs labeled 1, bottom pairs labeled 0 -> AUROC 1
+    top, _ = topk_novel_pairs(mat, 6)
+    bot, _ = topk_novel_pairs(mat, 6, largest=False)
+    pairs = np.concatenate([top, bot])
+    targets = np.concatenate([np.ones(6), np.zeros(6)])
+    rows = np.column_stack([pairs, targets])
+    np.savetxt(tmp_path / "val.csv", rows, fmt="%.1f")
+    main(["--tensor", str(tpath), "--label", "2",
+          "--validate", str(tmp_path / "val.csv")])
+    out = json.loads(capsys.readouterr().out)
+    assert out["validation"]["kind"] == "binary"
+    assert out["validation"]["auroc"] == 1.0
+
+    # continuous targets = the matrix values themselves -> spearman 1
+    a = np.maximum(pairs[:, 0], pairs[:, 1])
+    b = np.minimum(pairs[:, 0], pairs[:, 1])
+    rows = np.column_stack([pairs, mat[a, b]])
+    np.savetxt(tmp_path / "valc.csv", rows)
+    main(["--tensor", str(tpath), "--label", "2",
+          "--validate", str(tmp_path / "valc.csv")])
+    out = json.loads(capsys.readouterr().out)
+    np.testing.assert_allclose(out["validation"]["spearman"], 1.0)
+
+    # cv_auroc over two labels' values as features
+    rows = np.column_stack([pairs, targets])
+    np.savetxt(tmp_path / "val.csv", rows, fmt="%.1f")
+    main(["--tensor", str(tpath), "--labels", "0,2", "--cv_auroc",
+          "--validate", str(tmp_path / "val.csv")])
+    out = json.loads(capsys.readouterr().out)
+    assert out["cv_auroc"]["labels"] == [0, 2]
+    assert 0.0 <= out["cv_auroc"]["auroc"] <= 1.0
+    assert out["cv_auroc"]["folds"] >= 2
 
 
 def test_outcome_mapper(tmp_path):
