@@ -57,6 +57,15 @@ def build_parser() -> argparse.ArgumentParser:
                    default="str_random_sample")
     p.add_argument("--sharded", action="store_true",
                    help="label-shard the rank tensor over all devices")
+    p.add_argument("--ablation", type=str, default=None, metavar="OUT_JSON",
+                   help="run the modality-ablation study (fig2 protocol: "
+                        "force-mask modality subsets for full-modality "
+                        "drugs, per-label metrics per subset) and write "
+                        "the table as JSON")
+    p.add_argument("--ablation_combos", type=str, default=None,
+                   help="semicolon-separated '+'-joined modality subsets "
+                        "for --ablation, e.g. 'str;str+kg;str+kg+cv+tx' "
+                        "(default: all 15 non-empty subsets)")
     return p
 
 
@@ -166,6 +175,28 @@ def main(argv=None):
         logger.info(f"wrote {args.export_ranks}"
                     + (" (gmean-of-ranks ensemble, re-ranked)"
                        if multi else ""))
+
+    if args.ablation:
+        import json
+
+        from ..eval.ablation import modality_ablation_study
+
+        batch, _ = coll()
+        combos = ([tuple(c.split("+"))
+                   for c in args.ablation_combos.split(";")]
+                  if args.ablation_combos else None)
+        table = modality_ablation_study(
+            seeds[0][0], seeds[0][1], batch, kg, args.finetune_mode,
+            combos=combos)
+        serializable = {
+            combo: {k: np.asarray(v, np.float64).tolist()
+                    for k, v in row.items()}
+            for combo, row in table.items()
+        }
+        with open(args.ablation, "w") as f:
+            json.dump(serializable, f, indent=1)
+        logger.info(f"wrote modality-ablation table ({len(table)} subsets)"
+                    f" -> {args.ablation}")
 
     if args.triples:
         triples = [tuple(int(x) for x in t.split(":")) for t in args.triples]

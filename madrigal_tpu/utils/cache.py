@@ -21,10 +21,20 @@ def _host_arch_tag() -> str:
     import hashlib
 
     try:
+        parts = []
         with open("/proc/cpuinfo") as f:
             for line in f:
-                if line.startswith("flags"):
-                    return hashlib.sha1(line.encode()).hexdigest()[:8]
+                # model name matters beyond the flags line: XLA derives
+                # tuning features (e.g. +prefer-no-scatter/-gather) from
+                # the CPU model, and two hosts with identical flags lines
+                # can disagree on them (observed as cpu_aot_loader.cc
+                # feature-mismatch warnings)
+                if line.startswith(("flags", "model name")):
+                    parts.append(line)
+                    if len(parts) == 2:
+                        break
+        if parts:
+            return hashlib.sha1("".join(parts).encode()).hexdigest()[:8]
     except OSError:
         pass
     import platform
