@@ -81,6 +81,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="rematerialize the fusion transformer in the "
                         "backward (with --fusion_chunk: the full-batch "
                         "memory recipe at reference scale)")
+    p.add_argument("--fusion_remat_policy", type=str, default=None,
+                   choices=["dots"],
+                   help="with --fusion_remat: 'dots' keeps the Dense "
+                        "outputs (QKV/out proj, FFN matmuls) in the layer "
+                        "backward and recomputes only attention einsums/"
+                        "elementwise -- cheaper backward for a few "
+                        "[chunk, S, latent] buffers per layer")
     p.add_argument("--remat_forwards", action="store_true",
                    help="rematerialize each whole forward in the "
                         "backward. Costs ~a full forward recompute per "
@@ -182,6 +189,11 @@ def main(argv=None):
         enc_over = dataclasses.replace(
             enc_over, transformer=dataclasses.replace(
                 enc_over.transformer, remat=True))
+    if args.fusion_remat_policy is not None:
+        enc_over = dataclasses.replace(
+            enc_over, transformer=dataclasses.replace(
+                enc_over.transformer,
+                remat_policy=args.fusion_remat_policy))
     if args.no_hgt_remat:
         enc_over = dataclasses.replace(
             enc_over, hgt=dataclasses.replace(

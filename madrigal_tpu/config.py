@@ -207,6 +207,11 @@ class FusionConfig:
     # full-batch training at reference scale: the flagship 2048-latent
     # fusion's saved activations over 6843x21 tokens dominate HBM)
     remat: bool = False
+    # with remat: None recomputes everything; 'dots' saves the Dense
+    # outputs (QKV/out projections, both FFN matmuls) and recomputes only
+    # attention einsums + elementwise -- cheaper backward for a few
+    # [chunk, S, latent] buffers per layer (models/attention.py)
+    remat_policy: str | None = None
     # 'bfloat16' runs attention/FFN matmul activations in bf16 (params,
     # LayerNorms, softmax, residual stream stay f32). Throughput opt-in;
     # default float32 = exact reference-parity numerics.
@@ -525,5 +530,9 @@ def validate(cfg: Any) -> None:
                     f"label_chunk_triples={lc} must be a positive divisor "
                     f"of the decoder scan chunk {c} (a power of two "
                     f"<= {c}, e.g. 32/64/128), or 0 to disable")
+        rp = cfg.model.encoder.transformer.remat_policy
+        if rp not in (None, "dots"):
+            raise ValueError(
+                f"transformer.remat_policy={rp!r} (None | 'dots')")
     if isinstance(cfg, PretrainConfig):
         assert cfg.pretrain_mode in PRETRAIN_MODES, cfg.pretrain_mode

@@ -171,6 +171,14 @@ class TransformerEncoder(nn.Module):
     remat: bool = False  # recompute each layer in the backward (memory
     # knob for full-batch training at reference scale; attention-weight
     # capture layers are never rematted)
+    # remat policy: None = recompute everything; 'dots' saves the Dense
+    # (dot_general-without-batch-dims) outputs -- QKV/out projections and
+    # both FFN matmuls, i.e. most of the layer's FLOPs at short sequence
+    # length -- and recomputes only the attention einsums/softmax/
+    # elementwise in the backward. Costs a few [B_chunk, S, D] buffers
+    # per layer; the full-remat program shape XLA's compiler handles
+    # stays (it is still a checkpointed layer).
+    remat_policy: str | None = None
     dtype: str = "float32"  # activation compute dtype (see layer docs)
 
     @nn.compact
@@ -181,8 +189,19 @@ class TransformerEncoder(nn.Module):
             want = return_last_attn and (i == self.num_layers - 1)
             cls = TransformerEncoderLayer
             if self.remat and not want:
+                kw = {}
+                if self.remat_policy == "dots":
+                    import jax
+
+                    kw["policy"] = (
+                        jax.checkpoint_policies
+                        .dots_with_no_batch_dims_saveable)
+                elif self.remat_policy is not None:
+                    raise ValueError(
+                        f"unknown remat_policy {self.remat_policy!r} "
+                        "(None | 'dots')")
                 cls = nn.remat(TransformerEncoderLayer,
-                               static_argnums=(4, 5))
+                               static_argnums=(4, 5), **kw)
             layer = cls(
                 d_model=self.d_model, nhead=self.nhead,
                 dim_feedforward=self.dim_feedforward, dropout=self.dropout,

@@ -97,7 +97,8 @@ class TransformerFusion(nn.Module):
             num_layers=cfg.num_layers, d_model=latent, nhead=cfg.att_heads,
             dim_feedforward=cfg.ffn_dim, dropout=cfg.dropout, actn=cfg.actn,
             norm_first=cfg.norm_first,
-            remat=getattr(cfg, "remat", False), dtype=cdt,
+            remat=getattr(cfg, "remat", False),
+            remat_policy=getattr(cfg, "remat_policy", None), dtype=cdt,
             name="transformer_encoder",
         )(h, key_padding_mask=fusion_mask, attn_mask=src_mask, train=train,
           return_last_attn=return_last_attn)

@@ -115,7 +115,7 @@ def build_scale_data(n_drugs, n_labels, n_triples, scale, rng,
 def flagship_cfg(n_labels, mode, bf16=False, label_chunk=0,
                  split=False, fusion_chunk=512, fusion_remat=True,
                  remat_forwards=True, share_kg=True, hgt_remat=True,
-                 src_mxu=True):
+                 src_mxu=True, fusion_remat_policy=None):
     cdt = "bfloat16" if bf16 else "float32"
     enc = EncoderConfig(
         feature_dim=128,
@@ -129,6 +129,7 @@ def flagship_cfg(n_labels, mode, bf16=False, label_chunk=0,
             num_layers=2, att_heads=8, head_dim=256, ffn_dim=1024,
             dropout=0.2, actn="gelu", norm_first=True, agg="x-attn",
             num_tx_bottlenecks=2, remat=fusion_remat, compute_dtype=cdt,
+            remat_policy=fusion_remat_policy,
         ),
         pos_emb_type="sinusoidal",
         fusion="transformer_uni_proj",
@@ -248,6 +249,29 @@ def sweep(kind, batch, kg, n_labels, reps=3):
         mk = lambda kw: flagship_cfg(
             n_labels, kw.pop("mode"), bf16=True, label_chunk=64,
             split=kw.pop("split"), **kw)
+    elif kind == "rp":
+        # A/B the fusion remat POLICY: 'dots' keeps the Dense outputs
+        # (QKV/out proj + both FFN matmuls) in the layer backward and
+        # recomputes only attention einsums/elementwise; the program is
+        # still a checkpointed layer (compile-helper-safe, unlike
+        # dropping fusion remat entirely, which SIGKILLs it).
+        grid = [
+            ("full:fc512+frm-hrm+rp",
+             dict(mode="full_full", split=False, remat_forwards=False,
+                  hgt_remat=False, fusion_remat_policy="dots")),
+            ("full:fc512+frm-hrm",
+             dict(mode="full_full", split=False, remat_forwards=False,
+                  hgt_remat=False)),
+            ("split:share+fc512+frm+rp",
+             dict(mode="str_random_sample", split=True, share_kg=True,
+                  remat_forwards=False, fusion_remat_policy="dots")),
+            ("split:share+fc512+frm",
+             dict(mode="str_random_sample", split=True, share_kg=True,
+                  remat_forwards=False)),
+        ]
+        mk = lambda kw: flagship_cfg(
+            n_labels, kw.pop("mode"), bf16=True, label_chunk=64,
+            split=kw.pop("split"), **kw)
     elif kind == "full2":
         # full_full re-checks after the SCAN_WEIGHT_ROWS cap (fresh
         # process: the r3fix tail OOM'd on cross-config cache leakage)
@@ -319,7 +343,7 @@ def main():
                          "layout (src_sort=True; ops/segment_pallas.py)")
     ap.add_argument("--sweep", type=str, default=None,
                     choices=[None, "full", "split", "r3fix", "full2",
-                             "mxu"],
+                             "mxu", "rp"],
                     help="run the built-in config sweep instead of one "
                          "config (amortizes tunnel warmup in-process)")
     ap.add_argument("--platform_cpu", action="store_true",
@@ -334,7 +358,7 @@ def main():
     batch, kg = build_scale_data(n_drugs, args.labels, n_triples, scale,
                                  rng, kg_chunk=args.kg_chunk,
                                  kg_src_sort=args.src_mxu or
-                                 args.sweep == "mxu")
+                                 args.sweep in ("mxu", "rp"))
     if args.sweep:
         sweep(args.sweep, batch, kg, args.labels)
         return
