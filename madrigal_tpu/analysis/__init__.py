@@ -9,6 +9,22 @@ the [L, N, N] score/normalized-rank artifacts. The external data wrangling
 is irreproducible here (private paths); the query/statistics layer is
 what a user needs to run the same analyses on their own candidate sets.
 """
+from .pretrain_embeds import (  # noqa: F401
+    modality_embedding_table,
+    per_drug_modality_alignment,
+    pretrain_embedding_shift,
+    sample_full_modality_drugs,
+)
+from .profiles import (  # noqa: F401
+    binned_similarity_compare,
+    combo_class_table,
+    ddi_profile_matrix,
+    high_similarity_contrast,
+    jaccard_similarity,
+    load_organ_map,
+    match_drug_names,
+    organ_class_groups,
+)
 from .ddi_queries import (  # noqa: F401
     aggregate_outcomes,
     cv_validation_auroc,
