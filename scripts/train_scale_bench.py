@@ -272,6 +272,22 @@ def sweep(kind, batch, kg, n_labels, reps=3):
         mk = lambda kw: flagship_cfg(
             n_labels, kw.pop("mode"), bf16=True, label_chunk=64,
             split=kw.pop("split"), **kw)
+    elif kind == "rp2":
+        # follow-up to 'rp': does the 3-forward split mode tolerate (and
+        # gain from) dropping HGT edge-type remat, with/without the
+        # 'dots' fusion policy? (the 2x2's other half is in 'rp')
+        grid = [
+            ("split:share+fc512+frm-hrm+rp",
+             dict(mode="str_random_sample", split=True, share_kg=True,
+                  remat_forwards=False, hgt_remat=False,
+                  fusion_remat_policy="dots")),
+            ("split:share+fc512+frm-hrm",
+             dict(mode="str_random_sample", split=True, share_kg=True,
+                  remat_forwards=False, hgt_remat=False)),
+        ]
+        mk = lambda kw: flagship_cfg(
+            n_labels, kw.pop("mode"), bf16=True, label_chunk=64,
+            split=kw.pop("split"), **kw)
     elif kind == "full2":
         # full_full re-checks after the SCAN_WEIGHT_ROWS cap (fresh
         # process: the r3fix tail OOM'd on cross-config cache leakage)
@@ -343,7 +359,7 @@ def main():
                          "layout (src_sort=True; ops/segment_pallas.py)")
     ap.add_argument("--sweep", type=str, default=None,
                     choices=[None, "full", "split", "r3fix", "full2",
-                             "mxu", "rp"],
+                             "mxu", "rp", "rp2"],
                     help="run the built-in config sweep instead of one "
                          "config (amortizes tunnel warmup in-process)")
     ap.add_argument("--platform_cpu", action="store_true",
@@ -358,7 +374,7 @@ def main():
     batch, kg = build_scale_data(n_drugs, args.labels, n_triples, scale,
                                  rng, kg_chunk=args.kg_chunk,
                                  kg_src_sort=args.src_mxu or
-                                 args.sweep in ("mxu", "rp"))
+                                 args.sweep in ("mxu", "rp", "rp2"))
     if args.sweep:
         sweep(args.sweep, batch, kg, args.labels)
         return
