@@ -82,12 +82,14 @@ def build_parser() -> argparse.ArgumentParser:
                         "backward (with --fusion_chunk: the full-batch "
                         "memory recipe at reference scale)")
     p.add_argument("--fusion_remat_policy", type=str, default=None,
-                   choices=["dots"],
-                   help="with --fusion_remat: 'dots' keeps the Dense "
-                        "outputs (QKV/out proj, FFN matmuls) in the layer "
-                        "backward and recomputes only attention einsums/"
-                        "elementwise -- cheaper backward for a few "
-                        "[chunk, S, latent] buffers per layer")
+                   choices=["dots", "none"],
+                   help="with --fusion_remat: 'dots' (the config default) "
+                        "keeps the Dense outputs (QKV/out proj, FFN "
+                        "matmuls) in the layer backward and recomputes "
+                        "only attention einsums/elementwise -- ~4% faster "
+                        "epochs for a few [chunk, S, latent] buffers per "
+                        "layer; 'none' recomputes everything (max memory "
+                        "savings)")
     p.add_argument("--remat_forwards", action="store_true",
                    help="rematerialize each whole forward in the "
                         "backward. Costs ~a full forward recompute per "
@@ -193,7 +195,8 @@ def main(argv=None):
         enc_over = dataclasses.replace(
             enc_over, transformer=dataclasses.replace(
                 enc_over.transformer,
-                remat_policy=args.fusion_remat_policy))
+                remat_policy=(None if args.fusion_remat_policy == "none"
+                              else args.fusion_remat_policy)))
     if args.no_hgt_remat:
         enc_over = dataclasses.replace(
             enc_over, hgt=dataclasses.replace(

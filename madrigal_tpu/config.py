@@ -207,11 +207,17 @@ class FusionConfig:
     # full-batch training at reference scale: the flagship 2048-latent
     # fusion's saved activations over 6843x21 tokens dominate HBM)
     remat: bool = False
-    # with remat: None recomputes everything; 'dots' saves the Dense
-    # outputs (QKV/out projections, both FFN matmuls) and recomputes only
-    # attention einsums + elementwise -- cheaper backward for a few
-    # [chunk, S, latent] buffers per layer (models/attention.py)
-    remat_policy: str | None = None
+    # with remat: 'dots' (default) saves the Dense outputs (QKV/out
+    # projections, both FFN matmuls) and recomputes only attention
+    # einsums + elementwise -- measured ~4% faster epochs than None
+    # (recompute everything) in both production modes at reference scale
+    # for a few [chunk, S, latent] buffers per layer
+    # (models/attention.py; docs/EPOCH_PROFILE.md rp sweep). None is the
+    # max-memory-savings fallback: the one config where 'dots' exceeds
+    # the remote XLA compile helper is split_forward_grads +
+    # hgt.remat_edge_types=False, which plain remat also only barely
+    # compiles.
+    remat_policy: str | None = "dots"
     # 'bfloat16' runs attention/FFN matmul activations in bf16 (params,
     # LayerNorms, softmax, residual stream stay f32). Throughput opt-in;
     # default float32 = exact reference-parity numerics.

@@ -79,8 +79,8 @@ def main():
     ap.add_argument("--no_src_mxu", action="store_true",
                     help="disable the source-sorted MXU backward "
                          "(ops/segment_pallas.py)")
-    ap.add_argument("--fusion_remat_policy", type=str, default=None,
-                    choices=["dots"],
+    ap.add_argument("--fusion_remat_policy", type=str, default="dots",
+                    choices=["dots", "none"],
                     help="remat policy for the fusion layers (save Dense "
                          "outputs; recompute only attention/elementwise)")
     ap.add_argument("--decoder_only", action="store_true",
@@ -106,7 +106,9 @@ def main():
                        remat_forwards=not args.no_remat_forwards,
                        hgt_remat=not args.no_hgt_remat,
                        src_mxu=not args.no_src_mxu,
-                       fusion_remat_policy=args.fusion_remat_policy)
+                       fusion_remat_policy=(
+                           None if args.fusion_remat_policy == "none"
+                           else args.fusion_remat_policy))
     t0 = time.perf_counter()
     trainer = FinetuneTrainer(cfg, batch, kg)
     print(f"init: {time.perf_counter() - t0:.0f} s", flush=True)
