@@ -213,10 +213,12 @@ class FusionConfig:
     # (recompute everything) in both production modes at reference scale
     # for a few [chunk, S, latent] buffers per layer
     # (models/attention.py; docs/EPOCH_PROFILE.md rp sweep). None is the
-    # max-memory-savings fallback: the one config where 'dots' exceeds
-    # the remote XLA compile helper is split_forward_grads +
-    # hgt.remat_edge_types=False, which plain remat also only barely
-    # compiles.
+    # max-memory-savings fallback. Two reference-scale configs need it
+    # noted: (a) full_full + hgt.remat_edge_types=True + dots overflows
+    # HBM by ~10 MB in the fused step -- pair dots with
+    # remat_edge_types=False there (faster anyway), or set policy None;
+    # (b) split_forward_grads + remat_edge_types=False + dots exceeds
+    # the remote XLA compile helper (keep HGT remat in split mode).
     remat_policy: str | None = "dots"
     # 'bfloat16' runs attention/FFN matmul activations in bf16 (params,
     # LayerNorms, softmax, residual stream stay f32). Throughput opt-in;

@@ -53,7 +53,29 @@ from train_scale_bench import build_scale_data, flagship_cfg
 
 def timed(fn, *args, reps=3, label=""):
     """Compile + best-of-reps wall time, ending in a device->host read
-    (the axon tunnel's block_until_ready can return early)."""
+    (the axon tunnel's block_until_ready can return early).
+
+    A phase that exhausts HBM records None instead of killing the run:
+    the standalone (non-donated) fwd+bwd programs hold params + grads +
+    opt state simultaneously, which the donated production step does
+    not, so a phase can OOM even when the epoch itself fits (e.g.
+    loss_fwd_bwd under the 'dots' fusion remat policy)."""
+    try:
+        return _timed(fn, *args, reps=reps, label=label)
+    except Exception as e:  # RESOURCE_EXHAUSTED etc.
+        if "RESOURCE_EXHAUSTED" not in str(e) and \
+                "Ran out of memory" not in str(e):
+            raise
+        print(f"  {label}: OOM (standalone phase; see docstring)",
+              flush=True)
+        import gc
+
+        jax.clear_caches()
+        gc.collect()
+        return None
+
+
+def _timed(fn, *args, reps=3, label=""):
     out = fn(*args)
     first = jax.tree_util.tree_leaves(out)[0]
     float(jnp.max(jnp.ravel(first)[:8]))
@@ -242,6 +264,15 @@ def main():
         return
 
     # -- whole loss ---------------------------------------------------
+    # The per-phase executables accumulated above stay pinned on device
+    # (the in-process sweep leak, train_scale_bench.sweep); with the
+    # 'dots' fusion policy the full fwd+bwd program no longer fits next
+    # to them. Drop them -- only the phases below recompile.
+    import gc
+
+    jax.clear_caches()
+    gc.collect()
+
     mh, mt = trainer.masker.sample_epoch()
     mh, mt = jnp.asarray(mh), jnp.asarray(mt)
 
@@ -254,6 +285,30 @@ def main():
              trainer.chunk_labels)
     times["loss_fwd"] = timed(loss_fwd, *fargs, label="loss_fwd")
 
+    # the epoch (the headline, a donated fused step) is measured BEFORE
+    # the standalone fwd+bwd phase: the non-donated loss_fwd_bwd can
+    # exhaust HBM under the 'dots' policy, and on the axon backend a
+    # failed allocation leaves the device exhausted for the rest of the
+    # process -- order so that only attribution rows are at risk.
+    jax.clear_caches()
+    gc.collect()
+    trainer.train_epoch()  # compile the real step
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        trainer.train_epoch()
+        best = min(best, time.perf_counter() - t0)
+    times["epoch"] = best
+    print(f"  epoch: {best * 1e3:.0f} ms", flush=True)
+    jax.clear_caches()
+    gc.collect()
+    # the step donates the state, invalidating the originally captured
+    # params/batch_stats buffers -- re-capture for the remaining phases
+    params = trainer.state.params
+    bstats = trainer.state.batch_stats
+    fargs = (params, bstats, tb, kg, mh, mt, trainer.w_all, key,
+             trainer.chunk_labels)
+
     @jax.jit
     def loss_fwd_bwd(p, bs, b, kg, mh, mt, w, rng, cl):
         def f(pp):
@@ -265,31 +320,32 @@ def main():
 
     times["loss_fwd_bwd"] = timed(loss_fwd_bwd, *fargs,
                                   label="loss_fwd_bwd")
-    _, grads = loss_fwd_bwd(*fargs)
+    if times["loss_fwd_bwd"] is not None:
+        _, grads = loss_fwd_bwd(*fargs)
 
-    @jax.jit
-    def opt_update(g, o, p):
-        return trainer.tx.update(g, o, p)
+        @jax.jit
+        def opt_update(g, o, p):
+            return trainer.tx.update(g, o, p)
 
-    times["optimizer"] = timed(opt_update, grads, trainer.state.opt_state,
-                               params, label="optimizer")
-
-    trainer.train_epoch()  # compile the real step
-    best = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        trainer.train_epoch()
-        best = min(best, time.perf_counter() - t0)
-    times["epoch"] = best
-    print(f"  epoch: {best * 1e3:.0f} ms", flush=True)
+        times["optimizer"] = timed(opt_update, grads,
+                                   trainer.state.opt_state,
+                                   params, label="optimizer")
+        del grads
+    else:
+        times["optimizer"] = None  # needs the grads pytree
 
     # -- report -------------------------------------------------------
+    def _diff(*keys):
+        vals = [times[k] for k in keys]
+        if any(v is None for v in vals):
+            return None
+        return vals[0] - sum(vals[1:])
+
     derived = {
-        "fusion_fwd (encode - tokens)":
-            times["encode_fwd"] - times["tokens_fwd"],
-        "hgt_bwd_only": times["hgt_fwd_bwd"] - times["hgt_fwd"],
+        "fusion_fwd (encode - tokens)": _diff("encode_fwd", "tokens_fwd"),
+        "hgt_bwd_only": _diff("hgt_fwd_bwd", "hgt_fwd"),
         "host+dispatch (epoch - loss_fwd_bwd - optimizer)":
-            times["epoch"] - times["loss_fwd_bwd"] - times["optimizer"],
+            _diff("epoch", "loss_fwd_bwd", "optimizer"),
     }
     ep = times["epoch"]
     print("\nNOTE: phases are standalone jitted programs; they need not "
@@ -299,8 +355,12 @@ def main():
     print("\n| phase | ms | % of epoch |", flush=True)
     print("|---|---|---|", flush=True)
     for k, v in {**times, **derived}.items():
-        print(f"| {k} | {v * 1e3:.0f} | {100 * v / ep:.0f}% |",
-              flush=True)
+        if v is None:
+            print(f"| {k} | OOM (standalone; the donated step fits) "
+                  f"| - |", flush=True)
+        else:
+            print(f"| {k} | {v * 1e3:.0f} | {100 * v / ep:.0f}% |",
+                  flush=True)
     if args.json:
         with open(args.json, "w") as f:
             json.dump({"times_s": times, "derived_s": derived,
