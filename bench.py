@@ -16,10 +16,25 @@ Prints ONE JSON line:
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
+
+
+def pinned_baselines() -> dict:
+    """Vetted best-ever CPU baseline rates (BASELINE_PINNED.json).
+
+    The vs_baseline denominators are PINNED: the driver host's single core
+    is load-contended, and a live re-measure made the r2->r3 ratio swing
+    813.8->702.0 while the TPU rate moved only -1.6%. Live rates are still
+    measured and reported alongside (``*_live`` keys) as a drift check.
+    """
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "BASELINE_PINNED.json")
+    with open(path) as f:
+        return json.load(f)
 
 N_DRUGS = 6843  # reference all-drugs scale (data.py:708)
 N_PAD = 6912  # padded to the 128-wide MXU tile (scores sliced back)
@@ -157,28 +172,35 @@ def numpy_rank_rate() -> float:
 
 
 def main(mode: str = "score"):
+    pins = pinned_baselines()
+    torch_pin = pins["torch_cpu_pair_scores_per_sec"]
+    rank_pin = pins["numpy_rank_outcomes_per_sec"]
     if mode == "rank":
         rate = rank_rate()
-        base = numpy_rank_rate()
+        base_live = numpy_rank_rate()
         print(json.dumps({
             "metric": "rank_normalized_outcomes_per_sec_per_chip",
             "value": round(rate, 4),
             "unit": "outcomes/s",
-            "vs_baseline": round(rate / base, 2),
+            "vs_baseline": round(rate / rank_pin, 2),
+            "vs_baseline_live": round(rate / base_live, 2),
             "full_960_outcome_tensor_seconds_per_chip": round(960 / rate, 1),
         }))
         return
     rate = tpu_rate()
-    base = torch_cpu_rate()
+    base_live = torch_cpu_rate()
     rrate = rank_rate()
-    rbase = numpy_rank_rate()
+    rbase_live = numpy_rank_rate()
     print(json.dumps({
         "metric": "pair_outcome_scores_per_sec_per_chip",
         "value": round(rate, 1),
         "unit": "scores/s",
-        "vs_baseline": round(rate / base, 2),
+        "vs_baseline": round(rate / torch_pin, 2),
+        "vs_baseline_live": round(rate / base_live, 2),
+        "torch_cpu_live_scores_per_sec": round(base_live, 1),
         "rank_normalized_outcomes_per_sec_per_chip": round(rrate, 4),
-        "rank_vs_numpy_baseline": round(rrate / rbase, 2),
+        "rank_vs_numpy_baseline": round(rrate / rank_pin, 2),
+        "rank_vs_numpy_baseline_live": round(rrate / rbase_live, 2),
         "rank_full_960_outcome_tensor_seconds_per_chip":
             round(960 / rrate, 1),
     }))
