@@ -35,6 +35,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="stage-1 checkpoints from cli/modality_pretrain to "
                         "warm-start encoders (the reference's "
                         "use_modality_pretrain path, models.py:219-342)")
+    p.add_argument("--final_embeds_eval", action="store_true",
+                   help="after training, save per-modality train/val embeds "
+                        "and run the per-pair alignment/uniformity/GeomCA "
+                        "table (the reference's end-of-pretraining "
+                        "save_embeds + evaluate_final_embeds flow, "
+                        "pretrain.py:260-265, evaluate.py:456-504)")
     return p
 
 
@@ -121,8 +127,51 @@ def main(argv=None):
         trainer.state.params, trainer.state.batch_stats, cfg,
         epoch=args.num_steps, opt_state=trainer.state.opt_state,
     )
+    if args.final_embeds_eval:
+        run_final_embeds_eval(trainer, coll, kg, args.save_dir, logger)
     logger.info("done")
     mlog.finish()
+
+
+def run_final_embeds_eval(trainer, coll, kg, save_dir: str, logger):
+    """End-of-pretraining save_embeds -> evaluate_final_embeds orchestration
+    (reference: pretrain.py:260-265 -> evaluate.py:456-504). Pretrain drugs
+    split 90/10 train/val like the reference's fallback
+    (data.py:301, train_test_split(test_size=0.1))."""
+    import numpy as np
+
+    from ..eval.evaluate_pt import evaluate_final_embeds, save_embeds
+    from ..models.encoder import MadrigalEncoder
+
+    rng = np.random.RandomState(trainer.cfg.seed)
+    ids = trainer.drug_ids.copy()
+    rng.shuffle(ids)
+    n_val = max(1, len(ids) // 10)
+    val_drugs, train_drugs = np.sort(ids[:n_val]), np.sort(ids[n_val:])
+
+    enc = MadrigalEncoder(cfg=trainer.cfg.encoder)
+    variables = {
+        "params": trainer.state.params["base_encoder"],
+        "batch_stats": trainer.state.batch_stats.get("base_encoder", {}),
+    }
+
+    def apply_fn(vs, batch, kg, raw):
+        return enc.apply(
+            vs, batch, kg, train=False, raw_encoder_output=raw,
+            method=lambda m, b, k, train, raw_encoder_output: m.encode(
+                b, kg=k, train=train, raw_encoder_output=raw_encoder_output),
+        )
+
+    embeds_dir = os.path.join(save_dir, "final_embeds")
+    outputs = save_embeds(
+        apply_fn, variables, coll, kg, train_drugs, val_drugs,
+        save_dir=embeds_dir,
+        raw_encoder_output=trainer.cfg.raw_encoder_output,
+    )
+    table = evaluate_final_embeds(outputs, save_dir=save_dir, logger=logger)
+    logger.info(f"final embeds eval: {len(table)} modality pairs "
+                f"(embeds in {embeds_dir})")
+    return table
 
 
 if __name__ == "__main__":

@@ -106,6 +106,78 @@ def evaluate_pt(
     return metrics
 
 
+def evaluate_final_embeds(
+    outputs: Dict[str, Dict[str, dict]],
+    save_dir: Optional[str] = None,
+    run_geomca: bool = True,
+    geomca_kwargs: Optional[dict] = None,
+    logger=None,
+) -> Dict[str, Dict[str, float]]:
+    """End-of-pretraining alignment table over saved per-modality embeds.
+
+    Port of the reference's `evaluate_final_embeds`/`get_alignment_metrics`
+    (reference: madrigal/evaluate/evaluate.py:456-504): for every split and
+    every modality pair in the `save_embeds` output, intersect the drug
+    sets, align the embeddings, and compute alignment / per-side
+    uniformity / FOSCTTM plus the GeomCA connected-component stats
+    (precision, recall, network consistency, network quality) the
+    reference logs per pair. Returns {"<split> <a> v <b>": {metric: v}}
+    and writes `final_embeds_metrics.json` when `save_dir` is given.
+    """
+    from itertools import combinations
+
+    from .geomca import geomca
+
+    table: Dict[str, Dict[str, float]] = {}
+    for split, per_mod in outputs.items():
+        for a, b in combinations(sorted(per_mod, key=int), 2):
+            da, db = per_mod[a], per_mod[b]
+            shared, ia, ib = np.intersect1d(
+                da["drugs"], db["drugs"], return_indices=True
+            )
+            if len(shared) < 3:
+                continue
+            za = np.asarray(da["embeds"])[ia]
+            zb = np.asarray(db["embeds"])[ib]
+            row = {
+                "alignment": alignment_loss(za, zb),
+                "uniformity_a": uniform_loss(za),
+                "uniformity_b": uniform_loss(zb),
+                "foscttm": foscttm(zb, za)[0],
+                "sample_size": float(len(shared)),
+            }
+            if run_geomca:
+                # reference GeomCA params: Rdist_percentile=5, gamma=1,
+                # comp thresholds 0.0 (evaluate.py:478-495)
+                gk = dict(percentile=5.0, gamma=1.0,
+                          comp_consistency_threshold=0.0,
+                          comp_quality_threshold=0.0)
+                gk.update(geomca_kwargs or {})
+                res = geomca(za, zb, **gk)
+                row.update(
+                    geomca_precision=res.precision,
+                    geomca_recall=res.recall,
+                    geomca_network_consistency=res.network_consistency,
+                    geomca_network_quality=res.network_quality,
+                )
+            name = f"{split} {a} v {b}"
+            table[name] = row
+            if logger is not None:
+                logger.info(
+                    f"final embeds {name}: "
+                    + ", ".join(f"{k}={v:.4f}" for k, v in row.items())
+                )
+    if save_dir:
+        import json
+        import os
+
+        os.makedirs(save_dir, exist_ok=True)
+        with open(os.path.join(save_dir, "final_embeds_metrics.json"),
+                  "w") as f:
+            json.dump(table, f, indent=1)
+    return table
+
+
 def save_embeds(
     encoder_apply, variables, collator, kg, train_drugs, val_drugs,
     save_dir: Optional[str] = None,
