@@ -44,8 +44,46 @@ def _f32_to_sortable_u32(x: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(neg, ~u, u | jnp.uint32(0x80000000))
 
 
+def _pack_tri_tiles(x: jnp.ndarray, tile: int = 128):
+    """[n, n] -> flat [K*tile*tile] keeping only the (tile x tile) blocks
+    that intersect the lower triangle (block (I, J) kept iff J <= I).
+
+    The round-3 per-ELEMENT lower-tri compaction lost (982 ms/outcome:
+    width-1 gathers run at ~80M rows/s) -- but tile selection is STATIC,
+    so this is one contiguous-row gather of K = T(T+1)/2 blocks at byte
+    rate, and the subsequent sorts see 52% of n^2 elements instead of
+    sorting ~23.4M +inf sentinels. Dropped (upper) tiles and the padded
+    tail are never materialized; within-kept-tile upper entries must
+    already be +inf in `x` (the caller's tril mask handles it).
+    """
+    n = x.shape[0]
+    T = -(-n // tile)
+    npad = T * tile - n
+    if npad:
+        x = jnp.pad(x, ((0, npad), (0, npad)),
+                    constant_values=jnp.array(jnp.inf, x.dtype))
+    tiles = x.reshape(T, tile, T, tile).transpose(0, 2, 1, 3)
+    idx = np.asarray(
+        [i * T + j for i in range(T) for j in range(i + 1)], np.int32
+    )
+    packed = tiles.reshape(T * T, tile, tile)[jnp.asarray(idx)]
+    return packed.reshape(-1), idx, T
+
+
+def _unpack_tri_tiles(flat: jnp.ndarray, idx: np.ndarray, T: int, n: int,
+                      tile: int = 128) -> jnp.ndarray:
+    """Inverse of _pack_tri_tiles (static-index tile scatter); dropped
+    tiles come back as zeros, which the caller's tril mask overwrites."""
+    K = idx.shape[0]
+    tiles = jnp.zeros((T * T, tile, tile), flat.dtype)
+    tiles = tiles.at[jnp.asarray(idx)].set(flat.reshape(K, tile, tile))
+    full = tiles.reshape(T, T, tile, tile).transpose(0, 2, 1, 3)
+    return full.reshape(T * tile, T * tile)[:n, :n]
+
+
 def normalized_rank_matrix(scores: jnp.ndarray,
-                           stable: bool = True) -> jnp.ndarray:
+                           stable: bool = True,
+                           compact: Optional[bool] = None) -> jnp.ndarray:
     """Rank-normalize one outcome's [N, N] score matrix.
 
     Returns the symmetrized normalized-rank matrix: entry (i, j), i != j,
@@ -77,18 +115,36 @@ def normalized_rank_matrix(scores: jnp.ndarray,
     reference's OWN tie behavior (numpy's default argsort is unstable
     quicksort, i.e. arbitrary tie order). Outputs are identical for
     distinct scores.
+
+    compact (default: on exactly when stable=False) routes both sorts
+    through the static tri-tile packing (_pack_tri_tiles): the flat
+    formulation above sorts ~23.4M +inf upper-triangle sentinels along
+    with the 23.4M real keys, so halving the sort domain beats the
+    "two-sort wall" the r3 variant sweep established for the FULL-n^2
+    decomposition (round-4 measurement in rank_variants_bench). Under
+    ties, compact changes which equal element gets which rank (packed
+    order, not row-major order) -- arbitrary-but-different, which is why
+    stable=True keeps the flat layout unless compact is forced.
     """
     n = scores.shape[0]
     m = n * (n - 1) // 2
     tril = lower_tri_mask(n)
-    vals = jnp.where(tril, scores, jnp.inf).reshape(-1)
+    masked = jnp.where(tril, scores, jnp.inf)
+    if compact is None:
+        compact = not stable
+    if compact:
+        vals, idx, T = _pack_tri_tiles(masked)
+    else:
+        vals = masked.reshape(-1)
     iota = jax.lax.iota(jnp.int32, vals.shape[0])
     keys = (_f32_to_sortable_u32(vals)
             if not stable and vals.dtype == jnp.float32 else vals)
     _, order = jax.lax.sort((keys, iota), is_stable=stable, num_keys=1)
     _, inv = jax.lax.sort((order, iota), is_stable=stable, num_keys=1)
     ranks = inv.astype(jnp.float32) + 1.0
-    out = jnp.where(tril, ranks.reshape(n, n) / m, 0.0)
+    rmat = (_unpack_tri_tiles(ranks, idx, T, n) if compact
+            else ranks.reshape(n, n))
+    out = jnp.where(tril, rmat / m, 0.0)
     return out + out.T
 
 

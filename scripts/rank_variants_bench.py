@@ -244,6 +244,34 @@ def sort_key_payload_only(scores):
     return lax.sort((keys, iota), is_stable=False, num_keys=1)[1]
 
 
+@jax.jit
+def variant_j_tri_tiles(scores):
+    # round-4: the shipped compact path (eval/ranks.py _pack_tri_tiles) --
+    # STATIC 128x128 tile selection keeps 52% of n^2, so both sorts skip
+    # ~23.4M +inf sentinels. Unlike variant_i (per-element compaction,
+    # 982 ms: width-1 gathers), tile pack/unpack is contiguous-row
+    # gather/scatter with static indices.
+    from madrigal_tpu.eval.ranks import normalized_rank_matrix
+
+    return normalized_rank_matrix(scores, stable=False, compact=True)
+
+
+@jax.jit
+def probe_tri_tile_pack_only(scores):
+    # decomposition probe: pad + tile pack + unpack round-trip without
+    # the sorts
+    from madrigal_tpu.eval.ranks import (
+        _pack_tri_tiles,
+        _unpack_tri_tiles,
+        lower_tri_mask,
+    )
+
+    n = scores.shape[0]
+    masked = jnp.where(lower_tri_mask(n), scores, jnp.inf)
+    flat, idx, T = _pack_tri_tiles(masked)
+    return _unpack_tri_tiles(flat, idx, T, n)
+
+
 def make_batched(k, u32=False):
     @jax.jit
     def variant_batched(scores_k):  # [K, N, N]
@@ -307,7 +335,8 @@ def main():
     for name, fn in (("f", variant_f_searchsorted),
                      ("g", variant_g_searchsorted_u32),
                      ("h", variant_h_scatter_unique),
-                     ("i", variant_i_compact)):
+                     ("i", variant_i_compact),
+                     ("j", variant_j_tri_tiles)):
         np.testing.assert_allclose(np.asarray(fn(xs)), a, atol=1e-6,
                                    err_msg=name)
     # the analytic row-index inversion must be exact at FULL scale (f32
@@ -335,6 +364,8 @@ def main():
                      ("g_searchsorted_u32", variant_g_searchsorted_u32),
                      ("h_scatter_unique", variant_h_scatter_unique),
                      ("i_compact_halfsort", variant_i_compact),
+                     ("j_tri_tiles", variant_j_tri_tiles),
+                     ("probe_tri_tile_pack", probe_tri_tile_pack_only),
                      ("probe_sort_values_only", sort_values_only),
                      ("probe_sort_key_payload", sort_key_payload_only),
                      ("probe_compact_gathers", probe_compact_gathers_only),

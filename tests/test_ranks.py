@@ -38,6 +38,27 @@ def test_rank_matrix_matches_reference(rng):
         np.testing.assert_allclose(out, ref[l], atol=1e-6)
 
 
+@pytest.mark.parametrize("n", [30, 130, 300])
+def test_rank_matrix_compact_matches_flat(rng, n):
+    """The tri-tile-compacted sort path (round-4: sorts 52% of n^2
+    instead of ~half +inf sentinels) is bit-identical to the flat path
+    for distinct scores, across n < tile, n % tile != 0, n > 2*tile.
+    (Distinct by construction: f32 randn at n=300 draws ~18 exact
+    duplicates, and under ties the two layouts assign the tied ranks in
+    a different -- equally arbitrary -- order.)"""
+    scores = (rng.permutation(n * n).astype(np.float32)
+              .reshape(n, n) - n * n / 2) / n
+    flat = np.asarray(normalized_rank_matrix(
+        jnp.asarray(scores), stable=False, compact=False))
+    comp = np.asarray(normalized_rank_matrix(
+        jnp.asarray(scores), stable=False, compact=True))
+    np.testing.assert_array_equal(comp, flat)
+    # and against the reference oracle
+    ref = reference_normalize(
+        scores[None].astype(np.float64)).astype(np.float32)[0]
+    np.testing.assert_allclose(comp, ref, atol=1e-6)
+
+
 def test_rank_tensor_from_embeddings(rng):
     N, D, L = 24, 16, 5
     z = rng.randn(N, D).astype(np.float32)
