@@ -108,18 +108,34 @@ def main(argv=None):
         )
         start_step = meta["epoch"]
         logger.info(f"resumed from {args.resume} at step {start_step}")
-    for step in range(start_step, args.num_steps):
-        loss = check_finite_loss(trainer.train_step(), "cl")
-        mlog.log({"cl_loss": loss}, step=step)
-        if step % 10 == 0:
-            logger.info(f"step {step}: infonce={loss:.4f}")
-        # save_checkpoints <= 0 = no periodic snapshots (no modulo-crash)
-        if (cfg.save_checkpoints > 0 and step > 0
-                and step % cfg.save_checkpoints == 0):
+    # prefetch-overlapped segments between checkpoint boundaries: the
+    # host collate (pack_molecules + mask draws) for step t+1 runs in a
+    # background thread while the device computes step t
+    # (CLPretrainer.train_steps / data/pipeline.py); numerics identical
+    # to the per-step loop. save_checkpoints <= 0 = no periodic snapshots.
+    step = start_step
+    sc = cfg.save_checkpoints
+    while step < args.num_steps:
+        if sc > 0:
+            boundary = max(step, 1) if max(step, 1) % sc == 0 else (
+                (max(step, 1) // sc + 1) * sc)
+            seg_end = min(args.num_steps, boundary + 1)
+        else:
+            boundary, seg_end = None, args.num_steps
+        losses = trainer.train_steps(seg_end - step)
+        for i, loss in enumerate(losses):
+            s = step + i
+            check_finite_loss(loss, "cl")
+            mlog.log({"cl_loss": loss}, step=s)
+            if s % 10 == 0:
+                logger.info(f"step {s}: infonce={loss:.4f}")
+        step = seg_end
+        if (sc > 0 and boundary is not None and boundary > 0
+                and step == boundary + 1):
             save_checkpoint(
-                os.path.join(args.save_dir, f"cl_checkpoint_{step}"),
+                os.path.join(args.save_dir, f"cl_checkpoint_{boundary}"),
                 trainer.state.params, trainer.state.batch_stats, cfg,
-                epoch=step, opt_state=trainer.state.opt_state,
+                epoch=boundary, opt_state=trainer.state.opt_state,
             )
 
     save_checkpoint(

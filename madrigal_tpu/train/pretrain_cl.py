@@ -157,20 +157,48 @@ class CLPretrainer:
 
         return step
 
-    def train_step(self) -> float:
-        """One step over a random drug batch (epoch for small datasets)."""
+    def _host_batch(self):
+        """Host-side collate for one step: sample drugs, pack molecules,
+        draw the two subset masks (numpy throughout; device transfer is
+        the prefetcher's job)."""
         ids = (
             self.np_rng.choice(self.drug_ids, self.batch_size, replace=False)
             if len(self.drug_ids) > self.batch_size else self.drug_ids
         )
         batch = self.collator.drug_batch(ids)
         m1, m2 = self._sample_masks(ids)
+        return batch, m1, m2
+
+    def train_step(self) -> float:
+        """One step over a random drug batch (epoch for small datasets).
+        Synchronous host collate + blocking loss read; the production
+        loop is train_steps (prefetch-overlapped)."""
+        batch, m1, m2 = self._host_batch()
         self.rng, key = jax.random.split(self.rng)
         self.state, loss = self._step(
             self.state, batch, self.kg, jnp.asarray(m1), jnp.asarray(m2),
             key,
         )
         return float(loss)
+
+    def train_steps(self, num_steps: int, buffer_size: int = 2):
+        """`num_steps` steps with the double-buffered host->device
+        prefetch (data/pipeline.py): a background thread collates batch
+        t+1 (pack_molecules + mask sampling, the reference DataLoader
+        workers' role, parse_args.py:109) while the device runs step t,
+        and losses stay device-resident until the end instead of forcing
+        a tunnel read-back every step. Same rng streams as num_steps
+        train_step() calls -> identical losses (tested)."""
+        from ..data.pipeline import prefetch_epochs
+
+        losses = []
+        for batch, m1, m2 in prefetch_epochs(
+                lambda _s: self._host_batch(), num_steps, buffer_size):
+            self.rng, key = jax.random.split(self.rng)
+            self.state, loss = self._step(
+                self.state, batch, self.kg, m1, m2, key)
+            losses.append(loss)
+        return [float(l) for l in losses]
 
     def encoder_variables(self) -> dict:
         """base_encoder subtree for CL->finetune transfer."""

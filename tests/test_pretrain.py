@@ -146,3 +146,9 @@ def test_cl_pretrain_runs():
     assert np.isfinite(losses).all()
     enc_vars = tr.encoder_variables()
     assert "str_encoder" in enc_vars["params"]
+
+    # the prefetch-overlapped loop (train_steps, data/pipeline.py) draws
+    # the same host-rng and dropout-rng streams -> identical losses
+    tr2 = CLPretrainer(cfg, coll, kg)
+    losses2 = tr2.train_steps(6)
+    np.testing.assert_allclose(losses2, losses, atol=1e-6)
