@@ -27,6 +27,12 @@ def add_common_args(p: argparse.ArgumentParser):
     p.add_argument("--synthetic_drugs", type=int, default=32)
     p.add_argument("--synthetic_labels", type=int, default=12)
     p.add_argument("--synthetic_edges", type=int, default=120)
+    p.add_argument("--synthetic_scale", action="store_true",
+                   help="reference-scale synthetic dataset (6,843 drugs, "
+                        "960 outcomes, ~1M collated train triples, the "
+                        "PrimeKG-scale 8.3M-edge KG) -- end-to-end "
+                        "wall-clock runs with the host collator in the "
+                        "loop; ~2 min host build at startup")
     p.add_argument("--data_dir", type=str, default=None,
                    help="root of a reference-format data directory")
     p.add_argument("--save_dir", type=str, default="./madrigal_output")
@@ -84,7 +90,11 @@ def setup_platform(args: argparse.Namespace):
 
 
 def load_data(args: argparse.Namespace) -> Tuple[SyntheticDataset, DDICollator]:
-    if args.synthetic or not args.data_dir:
+    if getattr(args, "synthetic_scale", False):
+        from ..data.synthetic import make_reference_scale_dataset
+
+        ds = make_reference_scale_dataset(seed=args.seed)
+    elif args.synthetic or not args.data_dir:
         ds = make_dataset(
             num_drugs=args.synthetic_drugs,
             num_labels=args.synthetic_labels,

@@ -126,7 +126,27 @@ def main(argv=None):
 
     ds, coll = load_data(args)
     splits = None
-    if (args.synthetic or not args.data_dir) and not args.all_train:
+    if args.synthetic_scale and not args.all_train:
+        # reference-scale synthetic: split_by_triplets semantics -- an
+        # 80/10/10 row partition of the directed table (the reference's
+        # random triplet split), so eval cadence runs on held-out rows
+        import numpy as np
+
+        from ..data.collate import DDICollator
+
+        rng = np.random.RandomState(args.seed)
+        df = ds.edge_df
+        perm = rng.permutation(len(df))
+        n_hold = len(df) // 10
+        splits = {
+            "val": df.iloc[perm[:n_hold]].reset_index(drop=True),
+            "test": df.iloc[perm[n_hold:2 * n_hold]].reset_index(drop=True),
+        }
+        ds.edge_df = df.iloc[perm[2 * n_hold:]].reset_index(drop=True)
+        coll = DDICollator(ds, split="train", seed=args.seed,
+                           kg_edge_chunk=args.kg_chunk,
+                           kg_src_sort=not args.no_src_mxu)
+    elif (args.synthetic or not args.data_dir) and not args.all_train:
         # synthetic path: generate real train/val/test splits so model
         # selection runs on held-out data like the reference
         # (train_ddi_batch.py:376-412)

@@ -35,31 +35,13 @@ from madrigal_tpu.config import HGTConfig
 from madrigal_tpu.data.kg import build_kg_batch
 from madrigal_tpu.models.hgt import HGTEncoder
 
-NODE_TYPES = {  # ~122.5k nodes across PrimeKG-like types
-    "drug": 8000, "protein": 27000, "disease": 17000, "pathway": 2500,
-    "bioprocess": 28000, "molfunc": 11000, "cellcomp": 4000,
-    "anatomy": 25000,
-}
-# 17 edge types, ~8.3M directed edges
-EDGE_SPEC = [
-    ("drug", "targets", "protein", 300_000),
-    ("protein", "rev_targets", "drug", 300_000),
-    ("drug", "indication", "disease", 50_000),
-    ("disease", "rev_indication", "drug", 50_000),
-    ("drug", "interacts", "drug", 600_000),
-    ("protein", "ppi", "protein", 1_200_000),
-    ("protein", "in_pathway", "pathway", 200_000),
-    ("pathway", "rev_in_pathway", "protein", 200_000),
-    ("protein", "bp", "bioprocess", 1_100_000),
-    ("bioprocess", "rev_bp", "protein", 1_100_000),
-    ("protein", "mf", "molfunc", 600_000),
-    ("molfunc", "rev_mf", "protein", 600_000),
-    ("protein", "cc", "cellcomp", 400_000),
-    ("cellcomp", "rev_cc", "protein", 400_000),
-    ("disease", "anat", "anatomy", 600_000),
-    ("anatomy", "rev_anat", "disease", 600_000),
-    ("disease", "dd", "disease", 300_000),
-]
+# the canonical PrimeKG-scale spec now lives with the data layer
+# (data/synthetic.py, shared with make_reference_scale_dataset); these
+# module-level aliases keep the other scale benches' imports working
+from madrigal_tpu.data.synthetic import (  # noqa: E402
+    PRIMEKG_EDGE_SPEC as EDGE_SPEC,
+    PRIMEKG_NODE_TYPES as NODE_TYPES,
+)
 
 
 def bwd_bench(node_feats, edges, drug_ids):
