@@ -3,7 +3,10 @@ pretrain embedding-shift workflow (analysis/pretrain_embeds.py)."""
 import numpy as np
 import pytest
 
-from madrigal_tpu.analysis import (
+pytestmark = pytest.mark.slow  # full-matrix profile workflows; fast
+# lane (-m "not slow") skips this file, the full suite keeps it
+
+from madrigal_tpu.analysis import (  # noqa: E402
     binned_similarity_compare,
     combo_class_table,
     ddi_profile_matrix,

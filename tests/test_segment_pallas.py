@@ -13,6 +13,10 @@ import jax
 import jax.numpy as jnp
 
 from madrigal_tpu.config import HGTConfig
+
+# Interpreter-mode Pallas is minutes-heavy on the 1-core host; the fast
+# lane (-m "not slow") skips this file, the full suite keeps it.
+pytestmark = pytest.mark.slow
 from madrigal_tpu.data.kg import build_kg_batch
 from madrigal_tpu.models.hgt import HGTEncoder
 from madrigal_tpu.ops.gather import gather_rows_mxu
