@@ -105,9 +105,29 @@ def normalized_rank_matrix(scores: jnp.ndarray,
       * batching outcomes into one dimension-1 sort: 529-986 ms/outcome.
     Decomposition probes pin the floor: one u32 values-only sort is
     91.5 ms, one (u32 key, i32 payload) sort 143 ms -- so any
-    two-key+payload-sort scheme pays ~286 ms and the shipped kernel's
-    276 ms is already at that wall. The lever for the full tensor is the
-    label axis (parallel/allpairs.py), not the per-outcome kernel.
+    two-key+payload-sort scheme over the FULL n^2 pays ~286 ms. The
+    round-4 tri-tile compaction (`compact=True`) beats that wall from
+    the side: it shrinks the sort DOMAIN to 52% of n^2 (130.3
+    ms/outcome), not the sort itself. The lever for the full tensor is
+    the label axis (parallel/allpairs.py), not the per-outcome kernel.
+
+    A Pallas radix/histogram rank (per-block bucket histograms in VMEM +
+    prefix sum, no lax.sort) was evaluated and REJECTED on measured
+    rates rather than implemented: exact ranking is a permutation, so
+    any radix scheme's final pass must place each of the ~24.4M packed
+    elements at a data-dependent address -- either a scatter of rank to
+    original position or a per-element gather of base[bucket(key)].
+    Both run at this chip's width-1 row rate, ~80M rows/s
+    (scripts/segment_bench.py; the same wall behind the 982 ms
+    per-element compaction and the 552 ms scatter-invert variant, which
+    IS one sort + exactly such a placement pass): >= 305 ms for the
+    placement alone, 2.3x the entire shipped kernel before any
+    histogram work. Histogram builds fare no better: bucket counting
+    without scatter needs one-hot compares (M x B VPU ops -- ~1 s at
+    B=65536), and B <= 256 leaves ~95k-element bins whose interior
+    ranking recurses into the same data-dependent partition. Radix
+    ranking is scatter-rate-bound on TPU; the sort-domain shrink is the
+    winning family here (static tile moves at byte rate).
 
     stable=True gives deterministic ascending-position tie ranks;
     stable=False is faster (276 vs 334 ms/outcome at N=6843: unstable

@@ -6,6 +6,16 @@ Variants of the per-outcome [N, N] double-argsort (eval/ranks.py):
      second sort int32 keys) -- ranks identical for distinct scores
   C. B but second inversion via one sort with (order, iota) payload
 
+A Pallas radix/histogram rank (the r3-verdict stretch) is a measured
+REJECTION, not an unexplored branch: its final pass must place each of
+the ~24.4M packed elements at a data-dependent address, and this chip's
+width-1 gather/scatter row rate (~80M rows/s, scripts/segment_bench.py)
+prices that single pass at >= 305 ms -- 2.3x the whole shipped tri-tile
+kernel (130.3 ms/outcome). The `scatter` variant below IS that
+structure measured end-to-end (one sort + one permutation-scatter
+placement: 552 ms). See eval/ranks.py normalized_rank_matrix docstring
+for the full argument.
+
 Usage: python scripts/rank_variants_bench.py
 """
 import os
