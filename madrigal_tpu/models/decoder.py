@@ -169,6 +169,60 @@ class BilinearDDIScorer(nn.Module):
         )
         return out.reshape(-1)[:T]
 
+    # triples_indexed scan chunk: [C, D] f32 gathers = 64 MB at D=128
+    INDEXED_CHUNK = 131072
+
+    def triples_indexed(self, z_table, head_idx, tail_idx, labels,
+                        chunk: int = 0):
+        """`triples` that gathers its embedding rows INSIDE the scan chunk.
+
+        z_table: [N, D]; head_idx/tail_idx/labels: [T] int -> [T] scores.
+        Callers with very large T relative to N (stage-1 HGT link
+        prediction: ~5M held-out queries over 122.5k nodes,
+        kg_pretraining.py:41-75) must not materialize the [T, D] gathered
+        embeddings up front: those temps (plus their scan residuals and
+        pad copies) are ~10 GB at reference scale and OOM the chip next
+        to the full-graph HGT fwd+bwd. Gathering from the shared table
+        inside a jax.checkpoint'ed scan body caps the live footprint at
+        one [chunk, D] block; the backward recomputes the gathers and
+        accumulates a single [N, D] cotangent for the table. Numerics
+        identical to `triples(z_table[head_idx], z_table[tail_idx], ...)`.
+        """
+        w_sym = symmetrize(self.weight)
+        T = head_idx.shape[0]
+        C = chunk or self.INDEXED_CHUNK
+
+        if self.num_labels == 1:
+            w0 = w_sym[0]
+
+            def scores_fn(hi, ti, lb):
+                return jnp.einsum(
+                    "td,de,te->t", z_table[hi], w0, z_table[ti])
+        else:
+            def scores_fn(hi, ti, lb):
+                return jnp.einsum(
+                    "td,tde,te->t", z_table[hi], w_sym[lb], z_table[ti])
+
+        if T <= C:
+            return scores_fn(head_idx, tail_idx, labels)
+        import jax
+
+        pad = (-T) % C
+        hi = jnp.pad(head_idx, (0, pad))
+        ti = jnp.pad(tail_idx, (0, pad))
+        lb = jnp.pad(labels, (0, pad))
+        n_scan = (T + pad) // C
+
+        def body(_, args):
+            return None, jax.checkpoint(scores_fn)(*args)
+
+        _, out = jax.lax.scan(
+            body, None,
+            (hi.reshape(n_scan, C), ti.reshape(n_scan, C),
+             lb.reshape(n_scan, C)),
+        )
+        return out.reshape(-1)[:T]
+
     def pairs_all_labels(self, z_head, z_tail):
         """Scores for aligned (head, tail) pairs across all labels:
         z_head/z_tail [T, D] -> [T, L]."""

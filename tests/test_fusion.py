@@ -192,6 +192,32 @@ def test_bilinear_decoder_parity(rng):
         np.asarray(trip), ref[labels, hi, ti], atol=1e-5, rtol=1e-5
     )
 
+    # in-chunk gather path (stage-1 link-pred arena scoring): identical
+    # to pre-gathered triples, including through the scan (chunk < T)
+    trip_ix = dec.apply(
+        {"params": params}, jnp.asarray(z1), jnp.asarray(hi),
+        jnp.asarray(ti), jnp.asarray(labels),
+        method=BilinearDDIScorer.triples_indexed, chunk=3,
+    )
+    ref_ix = dec.apply(
+        {"params": params}, jnp.asarray(z1)[hi], jnp.asarray(z1)[ti],
+        jnp.asarray(labels), method=BilinearDDIScorer.triples,
+    )
+    np.testing.assert_allclose(np.asarray(trip_ix), np.asarray(ref_ix),
+                               atol=1e-5, rtol=1e-5)
+
+    # num_labels == 1 fast path (shared [D, D] weight, no per-triple
+    # weight gather)
+    dec1 = BilinearDDIScorer(num_labels=1, input_dim1=D, input_dim2=D)
+    params1 = {"weight": jnp.asarray(w[:1])}
+    one = dec1.apply(
+        {"params": params1}, jnp.asarray(z1), jnp.asarray(hi),
+        jnp.asarray(ti), jnp.zeros_like(jnp.asarray(labels)),
+        method=BilinearDDIScorer.triples_indexed, chunk=3,
+    )
+    ref1 = (z1 @ np.asarray(tsym[0]) @ z1.T)[hi, ti]
+    np.testing.assert_allclose(np.asarray(one), ref1, atol=1e-5, rtol=1e-5)
+
 
 def test_fusion_remat_matches(rng):
     """FusionConfig.remat changes memory, not numerics (fwd + grads)."""
