@@ -97,6 +97,30 @@ def _casters(compute_dtype):
     return (lambda x: x.astype(cdt)), (lambda x: x.astype(jnp.float32))
 
 
+def _head_logits(prod, H: int):
+    """Per-head lane-group sum [E, F] -> [E, H] as ONE block-indicator
+    matmul instead of `prod.reshape(E, H, D).sum(-1)`.
+
+    The reshape-sum materializes an [E, H, D] temp whose D=32 minor dim
+    tile-pads 4x (T(4, 128)) -- at full-KG scale that single temp is the
+    largest allocation in the step (1.87 GB f32 for a ~1M-edge type) and
+    OOMs the stage-1 link-pred step. The [F, H] 0/1 indicator matmul
+    keeps the edge stream in the merged-lane [E, F] layout end to end
+    (see _block_diag). precision=HIGHEST stops the TPU from rounding f32
+    inputs to bf16 (exact: the indicator is 0/1, so the dot is a pure
+    f32/f64 sum of the products); accumulation is >= f32 via
+    preferred_element_type, matching the up()-then-sum it replaces."""
+    import jax
+
+    F = prod.shape[-1]
+    seg = jnp.repeat(jnp.eye(H, dtype=prod.dtype), F // H, axis=0)  # [F,H]
+    return jax.lax.dot_general(
+        prod, seg, (((prod.ndim - 1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.promote_types(prod.dtype, jnp.float32),
+    )
+
+
 def _edge_type_messages(q_dst, k_src, v_src, k_rel, v_rel, p_rel,
                         src, dst, mask, src_bwd, n_dst: int, axis_name=None,
                         indices_are_sorted: bool = False,
@@ -133,12 +157,12 @@ def _edge_type_messages(q_dst, k_src, v_src, k_rel, v_rel, p_rel,
                        src, src_bwd, 0)  # [E, 2F]
     q_c = cast(q_dst)
     dst_safe = jnp.where(mask, dst, n_dst)
-    prod = up(q_c[dst] * kv_g[:, :F])  # [E, F]
+    prod = q_c[dst] * kv_g[:, :F]  # [E, F], compute dtype
     logits = (
-        prod.reshape(prod.shape[0], H, D).sum(axis=-1)
+        _head_logits(prod, H)  # [E, H], f32-accumulated (f64 in x64)
         * p_rel[None, :]
         / jnp.sqrt(jnp.asarray(D, jnp.float32))
-    )  # [E, H] f32 (or the input dtype in the no-cast mode)
+    )
     alpha = segment_softmax(logits, dst_safe, n_dst, mask=mask,
                             axis_name=axis_name,
                             indices_are_sorted=indices_are_sorted)
@@ -171,9 +195,10 @@ def _edge_type_messages_chunked(q_dst, k_src, v_src, k_rel, v_rel, p_rel,
     # rate-bound; see _edge_type_messages)
     kv_g = _src_gather(jnp.concatenate([k_s, v_s], axis=-1),
                        src, src_bwd, chunk)  # [E, 2F]
-    prod = up(q_chunk[:, None] * kv_g[:, :F].reshape(-1, chunk, F))
+    prod = q_chunk[:, None] * kv_g[:, :F].reshape(-1, chunk, F)
     logits = (
-        prod.reshape(-1, H, D).sum(axis=-1)
+        # [E/c, c, F] -> [E, F] is a lane-preserving bitcast
+        _head_logits(prod.reshape(-1, F), H)
         * p_rel[None, :]
         / jnp.sqrt(jnp.asarray(D, jnp.float32))
     )  # [E, H]
