@@ -113,8 +113,16 @@ def bench_kg(rng, scale):
             rng.randint(0, node_feats[dst].shape[0], e),
         ]).astype(np.int32)
     num_nodes = {k: v.shape[0] for k, v in node_feats.items()}
+    # TPU recipe = the stage-2/3 production KG recipe (CLAUDE.md): bf16
+    # edge streams + degree-chunked arenas + sorted-src MXU backward +
+    # per-edge-type remat. The all-f32 no-remat full-graph fwd+bwd needs
+    # >16G HBM at this scale (the inherent [E, 2F] k|v streams and their
+    # backward cotangents alone are ~1 GB per live edge type) -- it fits
+    # an 80G A100 but not a 16G v5e chip; bf16 + remat_edge_types is the
+    # recipe every stage-2/3 headline number in this repo uses.
     tr = HGTLinkPredTrainer(
-        HGTConfig(hidden_dim=128, num_layers=2, att_heads=4),
+        HGTConfig(hidden_dim=128, num_layers=2, att_heads=4,
+                  compute_dtype="bfloat16", remat_edge_types=True),
         feature_dim=128,
     )
     queries, labels, message_edges = tr.make_link_split(
@@ -122,7 +130,7 @@ def bench_kg(rng, scale):
     )
     kg = build_kg_batch(node_feats, message_edges,
                         drug_ids=np.arange(num_nodes["drug"]),
-                        edge_chunk=8)
+                        edge_chunk=8, src_sort=True)
     n_q = int(labels.shape[0])
     dt = _time_steps(lambda: tr.train_step(kg, queries, labels),
                      label=f"kg HGT full-graph step ({n_q} queries)")
