@@ -57,9 +57,19 @@ class DDICollator:
         seed: int = 0,
         kg_edge_chunk: int = 0,
         kg_src_sort: bool = False,
+        drug_table_cache: Optional[dict] = None,
     ):
         self.ds = ds
         self.split = split
+        # optional cross-collator memo for drug_batch device arrays: at
+        # reference scale every split's unique head/tail set is all N
+        # drugs, so without sharing, train + val + test batches each pin
+        # their own copy of the full modality tables in HBM (tx_sigs
+        # alone is [S, N, G] ~ 0.4 GB) -- enough to OOM the production
+        # finetune recipe. Pass ONE dict to every collator of a run;
+        # entries are read-only device arrays keyed by the exact drug-id
+        # set, so sharing is numerics-identical.
+        self.drug_table_cache = drug_table_cache
         self.num_neg = num_negative_samples_per_pair
         self.rng = np.random.RandomState(seed)
         self.node_budget = node_budget
@@ -96,6 +106,10 @@ class DDICollator:
     def drug_batch(self, drug_ids: np.ndarray) -> DrugModalityBatch:
         ds = self.ds
         drug_ids = np.asarray(drug_ids, np.int64)
+        cache = self.drug_table_cache
+        key = drug_ids.tobytes() if cache is not None else None
+        if cache is not None and key in cache:
+            return cache[key]
         mols = pack_molecules(
             [ds.molecules[int(i)] for i in drug_ids],
             node_budget=self.node_budget,
@@ -106,7 +120,7 @@ class DDICollator:
             mod: jnp.asarray(tab[drug_ids])
             for mod, tab in getattr(ds, "extra_tabular", {}).items()
         }
-        return DrugModalityBatch(
+        out = DrugModalityBatch(
             drugs=jnp.asarray(drug_ids.astype(np.int32)),
             mols=mols,
             kg_rows=jnp.asarray(self.kg_row_lut[drug_ids]),
@@ -116,6 +130,9 @@ class DDICollator:
             masks=jnp.asarray(masks),
             extra_tabular=extra,
         )
+        if cache is not None:
+            cache[key] = out
+        return out
 
     def kg_batch(self, seed_drug_ids=None,
                  kg_sampling_num_neighbors: Optional[int] = None,
@@ -148,9 +165,16 @@ class DDICollator:
 
     # -- edge batch ---------------------------------------------------------
 
-    def __call__(self, rows: "object" = None) -> Tuple[DDIBatch, HeteroKGBatch]:
+    def __call__(self, rows: "object" = None,
+                 build_kg: bool = True) -> Tuple[DDIBatch, HeteroKGBatch]:
         """Collate an edge-table slice (defaults to the full table --
-        full-batch training, reference data.py:435-437)."""
+        full-batch training, reference data.py:435-437).
+
+        `build_kg=False` skips the KG arena build and returns None in
+        its slot: eval/test splits score against the TRAIN collator's KG
+        (the graph is split-independent), and at reference scale each
+        redundant build costs minutes of host->device transfer and a
+        transient multi-hundred-MB arena in HBM."""
         df = self.ds.edge_df if rows is None else rows
         pos = df[["head", "tail"]].values.astype(np.int64)
         labels = df["label_indexed"].values.astype(np.int64)

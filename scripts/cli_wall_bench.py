@@ -8,18 +8,34 @@ reference scale (--synthetic_scale: 6,843 drugs, 960 outcomes, the
 collation, per-epoch mask resampling, the CL prefetch pipeline,
 checkpointing, and (optionally) the eval-sweep cadence.
 
-Method: each config runs as a subprocess TWICE with different work
-amounts; steady-state rate = d(work)/d(wall), which cancels the one-time
-setup (dataset build + trainer init + compile; the compile cache under
-/tmp/madrigal_jax_cache is shared across the pair, so the second run's
-compile is a cache hit). Per-epoch wall deltas are also read from the
-CLIs' *_metrics.jsonl `_time` stamps for the finetune runs.
+Method (--single, the production mode): ONE subprocess per config, and
+steady state comes from the `_time` stamps the CLIs already write to
+*_metrics.jsonl. train_ddi logs a train record after every epoch, so
+consecutive-record deltas ARE the end-to-end per-epoch wall (host mask
+resampling + device step + the eval sweep/checkpoint on eval-cadence
+epochs); pretrain flushes its per-step records once per checkpoint
+segment, so segment-boundary deltas / segment length give s/step
+including the prefetch pipeline AND the periodic checkpoint save. The
+first delta of each kind absorbs the jit compile and is dropped. This
+costs one process setup per config (dataset build + tunnel warmup)
+instead of two.
+
+Method (default, pair mode): each config runs as a subprocess TWICE with
+different work amounts; steady-state rate = d(work)/d(wall), which
+cancels the one-time setup (dataset build + trainer init + compile; the
+compile cache under /tmp/madrigal_jax_cache is shared across the pair,
+so the second run's compile is a cache hit). Twice the process setups
+of --single; kept for cross-checking the jsonl-delta numbers.
 
 Reference anchors: run_pretrain_twosides.sh:6,9-10 and
 finetune_twosides_scale.sh:6 (the <=2-day / <=16-h single-GPU budgets);
 data.py:1409-1501 (the collator work the device-step timings exclude).
 
-Usage: python scripts/cli_wall_bench.py [--json out] [--skip ft,ft_eval,cl]
+Usage:
+  python scripts/cli_wall_bench.py --single [--json out] [--skip ft,cl]
+  python scripts/cli_wall_bench.py [--json out] [--skip ft,ft_eval,cl]
+  python scripts/cli_wall_bench.py --analyze_ft DIR --analyze_cl DIR \
+      [--json out]   # re-analyze existing run dirs (no new runs)
 """
 import argparse
 import json
@@ -60,6 +76,75 @@ FLAGSHIP_SETS_CL = [
     "--set", "encoder.transformer.remat=True",
     "--set", "encoder.hgt.remat_edge_types=False",
 ]
+
+
+def _records(save_dir, run_name):
+    path = os.path.join(save_dir, f"{run_name}_metrics.jsonl")
+    with open(path) as f:
+        return [json.loads(line) for line in f]
+
+
+def _median(xs):
+    xs = sorted(xs)
+    n = len(xs)
+    return (xs[n // 2] if n % 2 else 0.5 * (xs[n // 2 - 1] + xs[n // 2]))
+
+
+def analyze_ft(save_dir, eval_interval):
+    """Steady-state per-epoch wall from a single train_ddi run's jsonl.
+
+    train_ddi writes one train record after every epoch and runs the
+    eval sweep + checkpoint AFTER the train record on eval-cadence
+    epochs, so the delta from train record e to e+1 is train(e+1) plus
+    (eval+ckpt)(e) iff e was an eval epoch. The first eval delta
+    absorbs the eval-program compile and is dropped.
+    """
+    recs = _records(save_dir, "train_ddi")
+    train = [r for r in recs if "train_total" in r]
+    plain, with_eval = [], []
+    for a, b in zip(train, train[1:]):
+        e = a["_step"]
+        d = b["_time"] - a["_time"]
+        is_eval = eval_interval > 0 and e > 0 and e % eval_interval == 0
+        (with_eval if is_eval else plain).append((e, d))
+    steady = _median([d for _, d in plain])
+    eval_deltas = [d for _, d in with_eval[1:]]  # [0] = eval compile
+    out = {
+        "epoch_deltas_s": [round(d, 3) for _, d in plain],
+        "steady_s_per_epoch": steady,
+        "projected_800_epoch_min": steady * 800 / 60,
+    }
+    if eval_deltas:
+        ev = _median(eval_deltas)
+        out.update({
+            "eval_epoch_deltas_s": [round(d, 3) for _, d in with_eval],
+            "steady_s_per_eval_epoch": ev,
+            "eval_sweep_overhead_s": ev - steady,
+            "projected_800_epoch_eval_every_4_min":
+                (steady + (ev - steady) / eval_interval) * 800 / 60,
+        })
+    return out
+
+
+def analyze_cl(save_dir, sc):
+    """Steady-state per-step wall from a single pretrain run's jsonl.
+
+    pretrain flushes each prefetch segment's per-step records at the
+    checkpoint boundary, so all records in a segment share one stamp;
+    boundary-to-boundary deltas / sc give s/step INCLUDING the periodic
+    checkpoint save. Segment 1 absorbs the compile (before the first
+    boundary stamp), so every delta is steady state.
+    """
+    recs = _records(save_dir, "pretrain")
+    marks = [r["_time"] for r in recs
+             if "cl_loss" in r and r["_step"] > 0 and r["_step"] % sc == 0]
+    deltas = [(b - a) / sc for a, b in zip(marks, marks[1:])]
+    steady = _median(deltas)
+    return {
+        "segment_s_per_step": [round(d, 3) for d in deltas],
+        "steady_s_per_step": steady,
+        "projected_1500_epoch_hours": steady * 1500 * 9 / 3600,
+    }
 
 
 def ft_cmd(save_dir, epochs, eval_interval):
@@ -114,10 +199,58 @@ def main():
     ap.add_argument("--skip", type=str, default="")
     ap.add_argument("--ft_epochs", type=int, nargs=2, default=(4, 24))
     ap.add_argument("--cl_steps", type=int, nargs=2, default=(10, 40))
+    ap.add_argument("--single", action="store_true",
+                    help="one process per config; steady state from the "
+                         "metrics-jsonl _time deltas (see module doc)")
+    ap.add_argument("--analyze_ft", type=str, default=None,
+                    help="existing train_ddi save_dir to analyze "
+                         "(assumes --evaluate_interval 4)")
+    ap.add_argument("--analyze_cl", type=str, default=None,
+                    help="existing pretrain save_dir to analyze "
+                         "(assumes --save_checkpoints 10)")
     args = ap.parse_args()
     skip = set(filter(None, args.skip.split(",")))
     results = {}
     tmp = tempfile.mkdtemp(prefix="cli_wall_")
+
+    if args.analyze_ft or args.analyze_cl:
+        if args.analyze_ft:
+            results["finetune_single"] = analyze_ft(args.analyze_ft, 4)
+        if args.analyze_cl:
+            results["cl_pretrain_single"] = analyze_cl(args.analyze_cl, 10)
+        print(json.dumps(results, indent=1))
+        if args.json:
+            with open(args.json, "w") as f:
+                json.dump(results, f, indent=1)
+        return
+
+    if args.single:
+        if "ft" not in skip:
+            d = os.path.join(tmp, "ft_single")
+            run(ft_cmd(d, 14, 4), "ft single 14ep/eval4")
+            results["finetune_single"] = analyze_ft(d, 4)
+            r = results["finetune_single"]
+            print(f"finetune end-to-end: {r['steady_s_per_epoch']:.2f} "
+                  f"s/epoch (train), "
+                  f"{r.get('steady_s_per_eval_epoch', float('nan')):.2f} "
+                  f"s on eval-cadence epochs -> 800 epochs ~= "
+                  f"{r['projected_800_epoch_min']:.0f} min", flush=True)
+        if "cl" not in skip:
+            d = os.path.join(tmp, "cl_single")
+            cmd = cl_cmd(d, 41)
+            cmd[cmd.index("--save_checkpoints") + 1] = "10"
+            run(cmd, "cl single 41st/ckpt10")
+            results["cl_pretrain_single"] = analyze_cl(d, 10)
+            r = results["cl_pretrain_single"]
+            print(f"cl pretrain end-to-end: {r['steady_s_per_step']:.2f} "
+                  f"s/step (prefetch + periodic ckpt) -> 1500-epoch "
+                  f"pretrain ~= {r['projected_1500_epoch_hours']:.1f} h",
+                  flush=True)
+        if args.json:
+            with open(args.json, "w") as f:
+                json.dump(results, f, indent=1)
+            print(f"wrote {args.json}", flush=True)
+        return
 
     if "ft" not in skip:
         e0, e1 = args.ft_epochs
