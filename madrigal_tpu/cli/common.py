@@ -33,6 +33,11 @@ def add_common_args(p: argparse.ArgumentParser):
                         "PrimeKG-scale 8.3M-edge KG) -- end-to-end "
                         "wall-clock runs with the host collator in the "
                         "loop; ~2 min host build at startup")
+    p.add_argument("--synthetic_scale_shrink", type=int, default=1,
+                   help="divide every --synthetic_scale dimension (drugs, "
+                        "outcomes, rows, KG edges) by this factor -- a "
+                        "shrunken-but-proportional variant so the "
+                        "reference-scale CLI path runs in the test suite")
     p.add_argument("--data_dir", type=str, default=None,
                    help="root of a reference-format data directory")
     p.add_argument("--save_dir", type=str, default="./madrigal_output")
@@ -93,7 +98,17 @@ def load_data(args: argparse.Namespace) -> Tuple[SyntheticDataset, DDICollator]:
     if getattr(args, "synthetic_scale", False):
         from ..data.synthetic import make_reference_scale_dataset
 
-        ds = make_reference_scale_dataset(seed=args.seed)
+        s = getattr(args, "synthetic_scale_shrink", 1) or 1
+        if s > 1:
+            ds = make_reference_scale_dataset(
+                seed=args.seed,
+                num_drugs=max(6843 // s, 16),
+                num_labels=max(960 // s, 8),
+                num_rows=max(174_763 // s, 64),
+                kg_scale=s,
+            )
+        else:
+            ds = make_reference_scale_dataset(seed=args.seed)
     elif args.synthetic or not args.data_dir:
         ds = make_dataset(
             num_drugs=args.synthetic_drugs,
@@ -105,7 +120,12 @@ def load_data(args: argparse.Namespace) -> Tuple[SyntheticDataset, DDICollator]:
         from ..data.datasets import load_reference_dataset
 
         ds = load_reference_dataset(args.data_dir)
+    # one shared device-table memo per run: every collator built from
+    # this one (train/val/test, per-seed predict embeds) reuses the same
+    # DrugModalityBatch entries instead of pinning per-split copies of
+    # the full modality tables in HBM (the reference-scale OOM)
     coll = DDICollator(ds, split="train", seed=args.seed,
                        kg_edge_chunk=getattr(args, "kg_chunk", 0),
-                       kg_src_sort=not getattr(args, "no_src_mxu", False))
+                       kg_src_sort=not getattr(args, "no_src_mxu", False),
+                       drug_table_cache={})
     return ds, coll

@@ -181,7 +181,9 @@ def main(argv=None):
 
         from ..eval.ablation import modality_ablation_study
 
-        batch, _ = coll()
+        # the full-KG arena already exists (line above builds `kg` once);
+        # a second build here is pure redundant host->device transfer
+        batch, _ = coll(build_kg=False)
         combos = ([tuple(c.split("+"))
                    for c in args.ablation_combos.split(";")]
                   if args.ablation_combos else None)

@@ -143,9 +143,14 @@ def main(argv=None):
             "test": df.iloc[perm[n_hold:2 * n_hold]].reset_index(drop=True),
         }
         ds.edge_df = df.iloc[perm[2 * n_hold:]].reset_index(drop=True)
+        # full_drug_table + one shared cache: train/val/test head AND
+        # tail batches all alias ONE device copy of the modality tables
+        # (per-split copies of the tx table alone OOM the production
+        # finetune recipe at reference scale)
         coll = DDICollator(ds, split="train", seed=args.seed,
                            kg_edge_chunk=args.kg_chunk,
-                           kg_src_sort=not args.no_src_mxu)
+                           kg_src_sort=not args.no_src_mxu,
+                           drug_table_cache={}, full_drug_table=True)
     elif (args.synthetic or not args.data_dir) and not args.all_train:
         # synthetic path: generate real train/val/test splits so model
         # selection runs on held-out data like the reference
@@ -162,7 +167,8 @@ def main(argv=None):
 
         coll = DDICollator(ds, split="train", seed=args.seed,
                            kg_edge_chunk=args.kg_chunk,
-                           kg_src_sort=not args.no_src_mxu)
+                           kg_src_sort=not args.no_src_mxu,
+                           drug_table_cache={})
     elif args.data_dir and not args.all_train:
         from ..data.datasets import load_reference_dataset
 
@@ -196,7 +202,8 @@ def main(argv=None):
 
         coll = DDICollator(ds, split="train", seed=args.seed,
                            kg_edge_chunk=args.kg_chunk,
-                           kg_src_sort=not args.no_src_mxu)
+                           kg_src_sort=not args.no_src_mxu,
+                           drug_table_cache={})
     cfg = TrainConfig(seed=args.seed, finetune_mode=args.finetune_mode)
     cfg = apply_overrides(cfg, args)
     for field in ("num_epochs", "warmup_epochs", "evaluate_interval"):
@@ -305,6 +312,17 @@ def main(argv=None):
     # (or pin) arenas they never read
     from ..data.collate import DDICollator as _C
 
+    # eval/test collators share the train collator's device-table memo
+    # (same ds, same budgets => identical entries) and skip the KG arena
+    # build (build_kg=False): the graph is split-independent, every
+    # split scores against the train `kg`, and each redundant build
+    # costs minutes of host->device transfer + a transient
+    # multi-hundred-MB HBM arena at reference scale
+    def _eval_collator(name):
+        return _C(ds, split=name, seed=args.seed,
+                  drug_table_cache=coll.drug_table_cache,
+                  full_drug_table=coll.full_drug_table)
+
     eval_batches = {}
     test_dfs = {}
     if splits is not None:
@@ -314,8 +332,8 @@ def main(argv=None):
             if name.startswith("test"):
                 test_dfs[name] = df
             else:
-                eval_batches[name] = _C(ds, split=name, seed=args.seed)(
-                    df)[0]
+                eval_batches[name] = _eval_collator(name)(
+                    df, build_kg=False)[0]
     # selection priority: plain 'val' wins when it coexists with
     # val_between (deterministic, not dict insertion order)
     val_splits = sorted(
@@ -425,8 +443,8 @@ def main(argv=None):
             test_eval = Evaluator(model, cfg.finetune_mode, task=cfg.task,
                                   logger=logger)
             for name in sorted(test_dfs):
-                test_batch = _C(ds, split=name, seed=args.seed)(
-                    test_dfs[name])[0]
+                test_batch = _eval_collator(name)(
+                    test_dfs[name], build_kg=False)[0]
                 test_key = test_eval.evaluate_ft(
                     variables, test_batch, kg, name,
                     eval_types=eval_types)

@@ -58,6 +58,7 @@ class DDICollator:
         kg_edge_chunk: int = 0,
         kg_src_sort: bool = False,
         drug_table_cache: Optional[dict] = None,
+        full_drug_table: bool = False,
     ):
         self.ds = ds
         self.split = split
@@ -70,6 +71,21 @@ class DDICollator:
         # entries are read-only device arrays keyed by the exact drug-id
         # set, so sharing is numerics-identical.
         self.drug_table_cache = drug_table_cache
+        # full_drug_table=True collates every batch against the FULL
+        # [0, N) drug table instead of the batch's unique head/tail sets:
+        # head_idx/tail_idx become global drug ids, numerics are
+        # unchanged (the encoder just embeds every drug), and -- the
+        # point -- every split's head AND tail DrugModalityBatch is the
+        # SAME drug_table_cache entry, so one run pins exactly one copy
+        # of the modality tables in HBM. At reference scale the unique
+        # sets are ~all N drugs anyway (so no extra encode cost), but
+        # they differ by a few drugs split-to-split, which would defeat
+        # the exact-key cache.
+        self.full_drug_table = full_drug_table
+        if full_drug_table and self.drug_table_cache is None:
+            # without a memo, head and tail would each build their own
+            # identical full-table copy -- worse than the unique path
+            self.drug_table_cache = {}
         self.num_neg = num_negative_samples_per_pair
         self.rng = np.random.RandomState(seed)
         self.node_budget = node_budget
@@ -107,7 +123,14 @@ class DDICollator:
         ds = self.ds
         drug_ids = np.asarray(drug_ids, np.int64)
         cache = self.drug_table_cache
-        key = drug_ids.tobytes() if cache is not None else None
+        # key carries every shape-affecting knob baked into the cached
+        # batch (pack_molecules budgets), not just the drug-id set: two
+        # collators sharing one cache with different budgets must NOT
+        # alias entries (wrong arena shapes -> recompiles / truncation)
+        key = (
+            (drug_ids.tobytes(), self.node_budget, self.edge_budget)
+            if cache is not None else None
+        )
         if cache is not None and key in cache:
             return cache[key]
         mols = pack_molecules(
@@ -165,8 +188,9 @@ class DDICollator:
 
     # -- edge batch ---------------------------------------------------------
 
-    def __call__(self, rows: "object" = None,
-                 build_kg: bool = True) -> Tuple[DDIBatch, HeteroKGBatch]:
+    def __call__(
+        self, rows: "object" = None, build_kg: bool = True,
+    ) -> Tuple[DDIBatch, Optional[HeteroKGBatch]]:
         """Collate an edge-table slice (defaults to the full table --
         full-batch training, reference data.py:435-437).
 
@@ -221,8 +245,13 @@ class DDICollator:
             [np.ones_like(labels), np.zeros_like(neg_labels)]
         )
 
-        uniq_heads, head_inv = np.unique(all_heads, return_inverse=True)
-        uniq_tails, tail_inv = np.unique(all_tails, return_inverse=True)
+        if self.full_drug_table:
+            uniq_heads = uniq_tails = np.arange(self.ds.num_drugs,
+                                                dtype=np.int64)
+            head_inv, tail_inv = all_heads, all_tails
+        else:
+            uniq_heads, head_inv = np.unique(all_heads, return_inverse=True)
+            uniq_tails, tail_inv = np.unique(all_tails, return_inverse=True)
 
         T = len(all_labels)
         budget = self.pair_budget or T
@@ -244,4 +273,4 @@ class DDICollator:
                 np.concatenate([np.ones(T, bool), np.zeros(pad, bool)])
             ),
         )
-        return batch, self.kg_batch()
+        return batch, (self.kg_batch() if build_kg else None)

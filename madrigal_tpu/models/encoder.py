@@ -20,6 +20,7 @@ from __future__ import annotations
 from typing import Optional
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -477,11 +478,21 @@ class MadrigalMultilabel(nn.Module):
 
 
 def init_multilabel(model: MadrigalMultilabel, rng, head, tail, kg):
-    """Initialize the complete variable tree (params + batch_stats)."""
-    return model.init(rng, head, tail, kg, method=MadrigalMultilabel.warmup)
+    """Initialize the complete variable tree (params + batch_stats).
+
+    Jitted: eager flax init dispatches hundreds of sub-second compiles
+    (below the persistent-cache threshold, so they re-compile every
+    process); one fused program is both faster cold and a cache hit
+    warm. Batches/kg are jit ARGUMENTS (closure constants would be
+    serialized into the compile payload -- see CLAUDE.md)."""
+    return jax.jit(
+        lambda r, h, t, k: model.init(
+            r, h, t, k, method=MadrigalMultilabel.warmup)
+    )(rng, head, tail, kg)
 
 
 def init_encoder(model: MadrigalEncoder, rng, batch, kg):
-    return model.init(
-        rng, batch, kg, method=lambda m, b, k: _encoder_warmup(m, b, k)
-    )
+    return jax.jit(
+        lambda r, b, k: model.init(
+            r, b, k, method=lambda m, b_, k_: _encoder_warmup(m, b_, k_))
+    )(rng, batch, kg)

@@ -15,10 +15,13 @@ consecutive-record deltas ARE the end-to-end per-epoch wall (host mask
 resampling + device step + the eval sweep/checkpoint on eval-cadence
 epochs); pretrain flushes its per-step records once per checkpoint
 segment, so segment-boundary deltas / segment length give s/step
-including the prefetch pipeline AND the periodic checkpoint save. The
-first delta of each kind absorbs the jit compile and is dropped. This
-costs one process setup per config (dataset build + tunnel warmup)
-instead of two.
+including the prefetch pipeline AND the periodic checkpoint save.
+Compile handling: plain train_ddi epoch deltas are compile-free by
+construction (the train-step compile lands before the epoch-0 record)
+and only the FIRST EVAL delta absorbs the eval-program compile, so that
+one is dropped; pretrain's segment 1 absorbs its compile before the
+first boundary stamp. This costs one process setup per config (dataset
+build + tunnel warmup) instead of two.
 
 Method (default, pair mode): each config runs as a subprocess TWICE with
 different work amounts; steady-state rate = d(work)/d(wall), which
@@ -84,9 +87,16 @@ def _records(save_dir, run_name):
         return [json.loads(line) for line in f]
 
 
-def _median(xs):
+def _median(xs, what="deltas"):
     xs = sorted(xs)
     n = len(xs)
+    if n == 0:
+        # fail loudly BEFORE silently poisoning a multi-minute run's
+        # analysis: e.g. eval_interval=1 makes every ft delta an eval
+        # delta (empty `plain`), or a <2-segment pretrain run
+        raise ValueError(
+            f"no {what} to analyze -- run more epochs/steps or adjust "
+            "the eval/checkpoint interval so non-degenerate deltas exist")
     return (xs[n // 2] if n % 2 else 0.5 * (xs[n // 2 - 1] + xs[n // 2]))
 
 
@@ -107,12 +117,23 @@ def analyze_ft(save_dir, eval_interval):
         d = b["_time"] - a["_time"]
         is_eval = eval_interval > 0 and e > 0 and e % eval_interval == 0
         (with_eval if is_eval else plain).append((e, d))
-    steady = _median([d for _, d in plain])
+    steady = _median([d for _, d in plain], "plain epoch deltas")
     eval_deltas = [d for _, d in with_eval[1:]]  # [0] = eval compile
     out = {
         "epoch_deltas_s": [round(d, 3) for _, d in plain],
         "steady_s_per_epoch": steady,
         "projected_800_epoch_min": steady * 800 / 60,
+        # quality trajectory (VERDICT r4 item 5): the reference's
+        # acceptance signal is AUPRC (eval_utils.py:11-12,145) -- tie
+        # the wall-clock run to loss falling / val AUPRC rising
+        "train_loss_trajectory": [
+            [r["_step"], round(r["train_total"], 4)] for r in train
+        ],
+        "val_auprc_trajectory": [
+            [r["_step"], k, round(r[k], 4)]
+            for r in recs for k in sorted(r)
+            if k.endswith("_key_auprc")
+        ],
     }
     if eval_deltas:
         ev = _median(eval_deltas)
@@ -139,11 +160,15 @@ def analyze_cl(save_dir, sc):
     marks = [r["_time"] for r in recs
              if "cl_loss" in r and r["_step"] > 0 and r["_step"] % sc == 0]
     deltas = [(b - a) / sc for a, b in zip(marks, marks[1:])]
-    steady = _median(deltas)
+    steady = _median(deltas, "checkpoint-segment deltas")
     return {
         "segment_s_per_step": [round(d, 3) for d in deltas],
         "steady_s_per_step": steady,
         "projected_1500_epoch_hours": steady * 1500 * 9 / 3600,
+        "cl_loss_trajectory": [
+            [r["_step"], round(r["cl_loss"], 4)]
+            for r in recs if "cl_loss" in r
+        ],
     }
 
 
