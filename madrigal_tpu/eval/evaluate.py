@@ -111,16 +111,28 @@ class Evaluator:
         self.k = k
         self.logger = logger
         self.best_metrics: Dict[str, float] = {}
-        self._embed_fn = None
+        # jitted eval programs. Masks/index arrays are jit ARGUMENTS, so
+        # ONE compile serves every eval type of the sweep (eval types
+        # differ only in mask values / triple counts); eager apply would
+        # dispatch per-primitive through the axon tunnel at reference
+        # scale. Distinct batch/triple SHAPES still compile separately.
+        self._embed_fn = jax.jit(
+            lambda variables, head, tail, kg: self.model.apply(
+                variables, head, tail, kg, train=False,
+                method=MadrigalMultilabel.embed_pair,
+            )
+        )
+        self._triples_fn = jax.jit(
+            lambda variables, zh, zt, lb: jax.nn.sigmoid(self.model.apply(
+                variables, zh, zt, lb,
+                method=lambda m, a, b, l: m.decoder.triples(a, b, l),
+            ))
+        )
 
     def _embed(self, variables, batch: DDIBatch, kg, masks_head, masks_tail):
         head = dataclasses.replace(batch.head, masks=jnp.asarray(masks_head))
         tail = dataclasses.replace(batch.tail, masks=jnp.asarray(masks_tail))
-        z_head, z_tail = self.model.apply(
-            variables, head, tail, kg, train=False,
-            method=MadrigalMultilabel.embed_pair,
-        )
-        return z_head, z_tail
+        return self._embed_fn(variables, head, tail, kg)
 
     def evaluate_ddi(self, variables, batch: DDIBatch, kg, eval_type: str,
                      split: str) -> Tuple[float, Dict[str, float]]:
@@ -131,13 +143,11 @@ class Evaluator:
         z_head, z_tail = self._embed(variables, batch, kg, masks_head,
                                      masks_tail)
         hi, ti, lb, pn, w = _direction_arrays(split, eval_type, batch)
-        logits = self.model.apply(
+        preds = np.asarray(self._triples_fn(
             variables,
             z_head[jnp.asarray(hi)], z_tail[jnp.asarray(ti)],
             jnp.asarray(lb),
-            method=lambda m, zh, zt, l: m.decoder.triples(zh, zt, l),
-        )
-        preds = np.asarray(jax.nn.sigmoid(logits))
+        ))
         keep = w.astype(bool)
         metrics, _ = get_metrics(
             preds[keep], pn[keep], lb[keep], k=self.k, task=self.task,
