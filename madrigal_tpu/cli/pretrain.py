@@ -35,6 +35,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="stage-1 checkpoints from cli/modality_pretrain to "
                         "warm-start encoders (the reference's "
                         "use_modality_pretrain path, models.py:219-342)")
+    p.add_argument("--host_collate", action="store_true",
+                   help="per-step host collate (pack_molecules + tx "
+                        "slice, the pre-r5 path) instead of the default "
+                        "device-table gather; the device-table path "
+                        "keeps the step device-bound on hosts where "
+                        "collate can't hide behind the prefetch "
+                        "(docs/CLI_WALL.md)")
     p.add_argument("--final_embeds_eval", action="store_true",
                    help="after training, save per-modality train/val embeds "
                         "and run the per-pair alignment/uniformity/GeomCA "
@@ -74,7 +81,8 @@ def main(argv=None):
     logger.info(f"config:\n{config_lib.dumps(cfg)}")
 
     kg = coll.kg_batch()
-    trainer = CLPretrainer(cfg, coll, kg)
+    trainer = CLPretrainer(cfg, coll, kg,
+                           device_table=not args.host_collate)
     if args.modality_ckpts:
         import dataclasses as _dc
 

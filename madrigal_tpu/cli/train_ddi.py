@@ -82,7 +82,7 @@ def build_parser() -> argparse.ArgumentParser:
                         "backward (with --fusion_chunk: the full-batch "
                         "memory recipe at reference scale)")
     p.add_argument("--fusion_remat_policy", type=str, default=None,
-                   choices=["dots", "none"],
+                   choices=["dots", "none", "all"],
                    help="with --fusion_remat: 'dots' (the config default) "
                         "keeps the Dense outputs (QKV/out proj, FFN "
                         "matmuls) in the layer backward and recomputes "

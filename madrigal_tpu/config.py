@@ -219,6 +219,10 @@ class FusionConfig:
     # remat_edge_types=False there (faster anyway), or set policy None;
     # (b) split_forward_grads + remat_edge_types=False + dots exceeds
     # the remote XLA compile helper (keep HGT remat in split mode).
+    # 'all' (everything_saveable) saves every residual -- the remat-off
+    # backward (zero recompute) inside a compile-helper-safe
+    # checkpointed-layer program; costs the most activation memory
+    # (scripts/train_scale_bench.py --sweep rp3).
     remat_policy: str | None = "dots"
     # 'bfloat16' runs attention/FFN matmul activations in bf16 (params,
     # LayerNorms, softmax, residual stream stay f32). Throughput opt-in;
@@ -539,8 +543,8 @@ def validate(cfg: Any) -> None:
                     f"of the decoder scan chunk {c} (a power of two "
                     f"<= {c}, e.g. 32/64/128), or 0 to disable")
         rp = cfg.model.encoder.transformer.remat_policy
-        if rp not in (None, "dots"):
+        if rp not in (None, "dots", "all"):
             raise ValueError(
-                f"transformer.remat_policy={rp!r} (None | 'dots')")
+                f"transformer.remat_policy={rp!r} (None | 'dots' | 'all')")
     if isinstance(cfg, PretrainConfig):
         assert cfg.pretrain_mode in PRETRAIN_MODES, cfg.pretrain_mode

@@ -177,7 +177,12 @@ class TransformerEncoder(nn.Module):
     # length -- and recomputes only the attention einsums/softmax/
     # elementwise in the backward. Costs a few [B_chunk, S, D] buffers
     # per layer; the full-remat program shape XLA's compiler handles
-    # stays (it is still a checkpointed layer).
+    # stays (it is still a checkpointed layer). 'all'
+    # (everything_saveable) saves EVERY residual -- zero recompute, i.e.
+    # the remat-off backward FLOPs while keeping the checkpointed-layer
+    # program structure that the axon remote compile helper tolerates
+    # (dropping fusion remat outright SIGKILLs it at reference scale;
+    # docs/EPOCH_PROFILE.md).
     remat_policy: str | None = None
     dtype: str = "float32"  # activation compute dtype (see layer docs)
 
@@ -196,10 +201,15 @@ class TransformerEncoder(nn.Module):
                     kw["policy"] = (
                         jax.checkpoint_policies
                         .dots_with_no_batch_dims_saveable)
+                elif self.remat_policy == "all":
+                    import jax
+
+                    kw["policy"] = (
+                        jax.checkpoint_policies.everything_saveable)
                 elif self.remat_policy is not None:
                     raise ValueError(
                         f"unknown remat_policy {self.remat_policy!r} "
-                        "(None | 'dots')")
+                        "(None | 'dots' | 'all')")
                 cls = nn.remat(TransformerEncoderLayer,
                                static_argnums=(4, 5), **kw)
             layer = cls(

@@ -263,11 +263,33 @@ class MadrigalEncoder(nn.Module):
         reference models.py:890-895; masks must select exactly one modality
         per row, as in pretrain_mode='str_center_uni').
         """
-        c = self.cfg
-        masks = batch.masks
         all_embeds = self.modality_tokens(
             batch, kg, kg_drug_table, train=train
         )
+        return self.fuse_tokens(
+            all_embeds, batch.masks, train=train,
+            raw_encoder_output=raw_encoder_output,
+            return_attention=return_attention,
+        )
+
+    def fuse_tokens(
+        self,
+        all_embeds,
+        masks,
+        *,
+        train: bool = False,
+        raw_encoder_output: bool = False,
+        return_attention: bool = False,
+    ):
+        """Mask-dependent tail of `encode`: fuse a precomputed
+        [B, NUM_MODALITIES, D] token stack under a modality mask.
+
+        Split out so the device-table CL path (train/pretrain_cl.py
+        device_table=True) can compute `modality_tokens` ONCE per step
+        over the full drug table and fuse a gathered minibatch per view
+        -- tokens are mask-independent, so one token pass serves both
+        SimCLR views."""
+        c = self.cfg
 
         if raw_encoder_output:
             avail = (~masks).astype(all_embeds.dtype)

@@ -41,27 +41,51 @@ class SimCLRModel(nn.Module):
             )
 
     def __call__(self, batch, kg, mask1, mask2, too_hard_neg_mask=None, *,
-                 kg_drug_table=None, train: bool = False):
+                 kg_drug_table=None, ids=None, train: bool = False):
         """Returns (aug1, aug2, (logits, labels, loss))
         (reference simclr.py:110-140).
 
         `kg_drug_table` short-circuits the KG forward with a precomputed
         drug-node table (the graph-parallel training seam,
-        parallel/kg_shard.py)."""
+        parallel/kg_shard.py).
+
+        `ids` is the device-table CL path (train/pretrain_cl.py
+        device_table=True): `batch` is the FULL device-resident drug
+        table, the per-step minibatch is `ids` (a [B] gather), and ONE
+        modality-token pass over the table serves both views (tokens are
+        mask-independent; the views differ only at the fuse/select
+        stage, which runs per view on the gathered rows). This replaces
+        the reference's per-step DataLoader collate (parse_args.py:109,
+        a many-worker CPU pool) with a device gather -- the host sends
+        ~KBs (ids + masks) per step instead of re-packing molecules and
+        re-slicing the tx table."""
         import dataclasses
 
         table = (kg_drug_table if kg_drug_table is not None
                  else self.base_encoder.kg_drug_table(kg, train=train))
-        b1 = dataclasses.replace(batch, masks=mask1)
-        b2 = dataclasses.replace(batch, masks=mask2)
-        z1 = self.base_encoder.encode(
-            b1, kg_drug_table=table, train=train,
-            raw_encoder_output=self.raw_encoder_output,
-        )
-        z2 = self.base_encoder.encode(
-            b2, kg_drug_table=table, train=train,
-            raw_encoder_output=self.raw_encoder_output,
-        )
+        if ids is not None:
+            tokens = self.base_encoder.modality_tokens(
+                batch, kg_drug_table=table, train=train
+            )[ids]
+            z1 = self.base_encoder.fuse_tokens(
+                tokens, mask1, train=train,
+                raw_encoder_output=self.raw_encoder_output,
+            )
+            z2 = self.base_encoder.fuse_tokens(
+                tokens, mask2, train=train,
+                raw_encoder_output=self.raw_encoder_output,
+            )
+        else:
+            b1 = dataclasses.replace(batch, masks=mask1)
+            b2 = dataclasses.replace(batch, masks=mask2)
+            z1 = self.base_encoder.encode(
+                b1, kg_drug_table=table, train=train,
+                raw_encoder_output=self.raw_encoder_output,
+            )
+            z2 = self.base_encoder.encode(
+                b2, kg_drug_table=table, train=train,
+                raw_encoder_output=self.raw_encoder_output,
+            )
         if self.shared_predictor:
             aug1 = self.predictor(z1, train=train)
             aug2 = self.predictor(z2, train=train)

@@ -169,10 +169,20 @@ def shard_cl_pretrainer(trainer, mesh: Mesh, kg_shard_axis=None):
     dp = NamedSharding(mesh, P("dp"))
     orig_step = jax.jit(trainer._make_step(), donate_argnums=(0,))
 
-    def sharded_step(state, batch, kg, m1, m2, rng):
-        batch = jax.device_put(batch, dp)
+    def sharded_step(state, batch, kg, m1, m2, rng, ids=None):
         m1 = jax.device_put(m1, dp)
         m2 = jax.device_put(m2, dp)
+        if ids is not None:
+            # device-table CL: the full drug table is replicated; the
+            # per-step minibatch (ids + masks) is what shards over dp.
+            # Each chip gathers its B/dp rows from its table replica and
+            # the InfoNCE all-gather of projected views stays the only
+            # collective, exactly as in the host-collate path.
+            batch = jax.device_put(batch, rep)
+            ids = jax.device_put(ids, dp)
+            with mesh:
+                return orig_step(state, batch, kg, m1, m2, rng, ids)
+        batch = jax.device_put(batch, dp)
         with mesh:
             return orig_step(state, batch, kg, m1, m2, rng)
 

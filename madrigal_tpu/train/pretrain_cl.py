@@ -45,6 +45,7 @@ class CLPretrainer:
         kg: HeteroKGBatch,
         drug_ids: Optional[np.ndarray] = None,
         rng: Optional[jax.Array] = None,
+        device_table: bool = False,
     ):
         self.cfg = cfg
         self.collator = collator
@@ -76,6 +77,23 @@ class CLPretrainer:
 
         bsz = min(cfg.pretrain_batch_size, len(self.drug_ids))
         self.batch_size = bsz
+        # device-table mode: the full [0, N) drug table lives on device
+        # once (the same collator-cache entry the finetune CLI pins) and
+        # every step gathers its minibatch rows ON DEVICE by id; the
+        # host's per-step job shrinks from pack_molecules(768) + a
+        # ~50 MB tx slice to drawing ids + two [B, W] masks. On a
+        # single-core host the old path is collate-bound (measured
+        # 15-60 s/step at reference scale vs 0.59 s device step --
+        # docs/CLI_WALL.md); this path keeps the step device-bound.
+        # Numerics note: one modality-token pass serves both views, so
+        # encoder dropout draws / BN batch stats are shared across views
+        # and BN stats are computed over the full table, not the
+        # minibatch (the views still differ by their modality masks,
+        # which IS the CL augmentation -- reference simclr.py:110-140).
+        self.full_batch = (
+            collator.drug_batch(np.arange(ds.num_drugs))
+            if device_table else None
+        )
         batch = collator.drug_batch(self.drug_ids[:bsz])
         m1, m2 = self._sample_masks(self.drug_ids[:bsz])
         variables = self.model.init(
@@ -130,7 +148,9 @@ class CLPretrainer:
         )
 
     def _make_step(self):
-        def step(state: CLTrainState, batch, kg, m1, m2, rng):
+        use_ids = self.full_batch is not None
+
+        def step(state: CLTrainState, batch, kg, m1, m2, rng, ids=None):
             def loss_fn(params):
                 # kg is a step ARGUMENT (closure constants are serialized
                 # into the compile payload -- see finetune._forward_loss)
@@ -138,7 +158,8 @@ class CLPretrainer:
                          else self._kg_table_fn(params, kg))
                 (_, _, (_, _, loss)), updates = self.model.apply(
                     {"params": params, "batch_stats": state.batch_stats},
-                    batch, kg, m1, m2, kg_drug_table=table, train=True,
+                    batch, kg, m1, m2, kg_drug_table=table,
+                    ids=(ids if use_ids else None), train=True,
                     mutable=["batch_stats"], rngs={"dropout": rng},
                 )
                 return loss, updates["batch_stats"]
@@ -158,27 +179,39 @@ class CLPretrainer:
         return step
 
     def _host_batch(self):
-        """Host-side collate for one step: sample drugs, pack molecules,
-        draw the two subset masks (numpy throughout; device transfer is
-        the prefetcher's job)."""
+        """Host-side collate for one step: sample drugs, draw the two
+        subset masks, and -- host-collate mode only -- pack molecules
+        (numpy throughout; device transfer is the prefetcher's job).
+        Device-table mode returns (ids, m1, m2): the minibatch itself is
+        gathered on device from self.full_batch inside the step."""
         ids = (
             self.np_rng.choice(self.drug_ids, self.batch_size, replace=False)
             if len(self.drug_ids) > self.batch_size else self.drug_ids
         )
-        batch = self.collator.drug_batch(ids)
         m1, m2 = self._sample_masks(ids)
+        if self.full_batch is not None:
+            return ids.astype(np.int32), m1, m2
+        batch = self.collator.drug_batch(ids)
         return batch, m1, m2
+
+    def _dispatch_step(self, payload, key):
+        batch_or_ids, m1, m2 = payload
+        if self.full_batch is not None:
+            return self._step(
+                self.state, self.full_batch, self.kg, jnp.asarray(m1),
+                jnp.asarray(m2), key, jnp.asarray(batch_or_ids),
+            )
+        return self._step(
+            self.state, batch_or_ids, self.kg, jnp.asarray(m1),
+            jnp.asarray(m2), key,
+        )
 
     def train_step(self) -> float:
         """One step over a random drug batch (epoch for small datasets).
         Synchronous host collate + blocking loss read; the production
         loop is train_steps (prefetch-overlapped)."""
-        batch, m1, m2 = self._host_batch()
         self.rng, key = jax.random.split(self.rng)
-        self.state, loss = self._step(
-            self.state, batch, self.kg, jnp.asarray(m1), jnp.asarray(m2),
-            key,
-        )
+        self.state, loss = self._dispatch_step(self._host_batch(), key)
         return float(loss)
 
     def train_steps(self, num_steps: int, buffer_size: int = 2):
@@ -188,15 +221,15 @@ class CLPretrainer:
         workers' role, parse_args.py:109) while the device runs step t,
         and losses stay device-resident until the end instead of forcing
         a tunnel read-back every step. Same rng streams as num_steps
-        train_step() calls -> identical losses (tested)."""
+        train_step() calls -> identical losses (tested). In device-table
+        mode the prefetched payload is just (ids, m1, m2)."""
         from ..data.pipeline import prefetch_epochs
 
         losses = []
-        for batch, m1, m2 in prefetch_epochs(
+        for payload in prefetch_epochs(
                 lambda _s: self._host_batch(), num_steps, buffer_size):
             self.rng, key = jax.random.split(self.rng)
-            self.state, loss = self._step(
-                self.state, batch, self.kg, m1, m2, key)
+            self.state, loss = self._dispatch_step(payload, key)
             losses.append(loss)
         return [float(l) for l in losses]
 

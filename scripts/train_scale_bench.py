@@ -288,6 +288,32 @@ def sweep(kind, batch, kg, n_labels, reps=3):
         mk = lambda kw: flagship_cfg(
             n_labels, kw.pop("mode"), bf16=True, label_chunk=64,
             split=kw.pop("split"), **kw)
+    elif kind == "rp3":
+        # VERDICT r4 item 7: attack the ~365 ms of fusion-backward
+        # recompute behind the compile-helper wall. remat_policy='all'
+        # (jax.checkpoint_policies.everything_saveable) keeps the
+        # checkpointed-layer program STRUCTURE the remote compile helper
+        # tolerates while saving every residual -- zero recompute in the
+        # backward, i.e. the remat-off FLOPs without the remat-off
+        # program shape that SIGKILLs the helper. A/B vs 'dots' (the
+        # current production winner) in one process, both modes.
+        grid = [
+            ("full:fc512+frm-hrm+rpall",
+             dict(mode="full_full", split=False, remat_forwards=False,
+                  hgt_remat=False, fusion_remat_policy="all")),
+            ("full:fc512+frm-hrm+rpdots",
+             dict(mode="full_full", split=False, remat_forwards=False,
+                  hgt_remat=False, fusion_remat_policy="dots")),
+            ("split:share+fc512+frm+rpall",
+             dict(mode="str_random_sample", split=True, share_kg=True,
+                  remat_forwards=False, fusion_remat_policy="all")),
+            ("split:share+fc512+frm+rpdots",
+             dict(mode="str_random_sample", split=True, share_kg=True,
+                  remat_forwards=False, fusion_remat_policy="dots")),
+        ]
+        mk = lambda kw: flagship_cfg(
+            n_labels, kw.pop("mode"), bf16=True, label_chunk=64,
+            split=kw.pop("split"), **kw)
     elif kind == "full2":
         # full_full re-checks after the SCAN_WEIGHT_ROWS cap (fresh
         # process: the r3fix tail OOM'd on cross-config cache leakage)
@@ -359,7 +385,7 @@ def main():
                          "layout (src_sort=True; ops/segment_pallas.py)")
     ap.add_argument("--sweep", type=str, default=None,
                     choices=[None, "full", "split", "r3fix", "full2",
-                             "mxu", "rp", "rp2"],
+                             "mxu", "rp", "rp2", "rp3"],
                     help="run the built-in config sweep instead of one "
                          "config (amortizes tunnel warmup in-process)")
     ap.add_argument("--platform_cpu", action="store_true",
@@ -374,7 +400,7 @@ def main():
     batch, kg = build_scale_data(n_drugs, args.labels, n_triples, scale,
                                  rng, kg_chunk=args.kg_chunk,
                                  kg_src_sort=args.src_mxu or
-                                 args.sweep in ("mxu", "rp", "rp2"))
+                                 args.sweep in ("mxu", "rp", "rp2", "rp3"))
     if args.sweep:
         sweep(args.sweep, batch, kg, args.labels)
         return

@@ -236,28 +236,37 @@ def test_fusion_remat_matches(rng):
     # 'dots' policy: save Dense outputs, recompute attention/elementwise
     # only -- a scheduling knob, never a numerics one
     cfg_rp = dataclasses.replace(cfg, remat=True, remat_policy="dots")
+    # 'all' (everything_saveable): zero backward recompute inside the
+    # checkpointed-layer structure (compile-helper-safe remat-off)
+    cfg_ra = dataclasses.replace(cfg, remat=True, remat_policy="all")
     S = NUM_MOD + 2
     kwargs = dict(embed_dim=16, num_kv_tokens=S, num_non_tx=3)
     m1 = TransformerFusion(cfg=cfg, **kwargs)
     m2 = TransformerFusion(cfg=cfg_r, **kwargs)
     m3 = TransformerFusion(cfg=cfg_rp, **kwargs)
+    m4 = TransformerFusion(cfg=cfg_ra, **kwargs)
     x = jnp.asarray(rng.randn(4, S, 16).astype(np.float32))
     kpm = jnp.asarray(rng.rand(4, S) < 0.3)
     v = m1.init(jax.random.PRNGKey(0), x, kpm, train=False)
     o1 = m1.apply(v, x, kpm, train=False)
     o2 = m2.apply(v, x, kpm, train=False)  # identical param tree
     o3 = m3.apply(v, x, kpm, train=False)
+    o4 = m4.apply(v, x, kpm, train=False)
     np.testing.assert_allclose(np.asarray(o1), np.asarray(o2), atol=1e-6)
     np.testing.assert_allclose(np.asarray(o1), np.asarray(o3), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(o1), np.asarray(o4), atol=1e-6)
 
     g1 = jax.grad(lambda v: jnp.sum(m1.apply(v, x, kpm, train=False) ** 2))(v)
     g2 = jax.grad(lambda v: jnp.sum(m2.apply(v, x, kpm, train=False) ** 2))(v)
     g3 = jax.grad(lambda v: jnp.sum(m3.apply(v, x, kpm, train=False) ** 2))(v)
-    for a, b, c in zip(jax.tree_util.tree_leaves(g1),
-                       jax.tree_util.tree_leaves(g2),
-                       jax.tree_util.tree_leaves(g3)):
+    g4 = jax.grad(lambda v: jnp.sum(m4.apply(v, x, kpm, train=False) ** 2))(v)
+    for a, b, c, d in zip(jax.tree_util.tree_leaves(g1),
+                          jax.tree_util.tree_leaves(g2),
+                          jax.tree_util.tree_leaves(g3),
+                          jax.tree_util.tree_leaves(g4)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
         np.testing.assert_allclose(np.asarray(a), np.asarray(c), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(d), atol=1e-5)
 
 
 def test_fusion_bf16_compute_close_to_f32(rng):

@@ -152,3 +152,60 @@ def test_cl_pretrain_runs():
     tr2 = CLPretrainer(cfg, coll, kg)
     losses2 = tr2.train_steps(6)
     np.testing.assert_allclose(losses2, losses, atol=1e-6)
+
+
+def test_cl_device_table_path():
+    """device_table=True: the minibatch is a device gather of one
+    full-table modality-token pass (models/simclr.py ids path). Checks
+    (a) the train loop runs (train_step == train_steps rng streams),
+    (b) at train=False the ids path's loss equals the host-collate
+    path's on the same drugs (tokens are mask-independent and per-drug,
+    so gather-then-fuse == collate-then-encode)."""
+    import jax
+
+    from madrigal_tpu.train.pretrain_cl import CLPretrainer
+
+    ds = make_dataset(num_drugs=14, num_labels=4, num_edges=20, seed=3)
+    coll = DDICollator(ds, split="train")
+    kg = coll.kg_batch()
+    enc = EncoderConfig(
+        feature_dim=16,
+        gin=GINConfig(hidden_dims=(16, 16), num_mlp_layer=2),
+        hgt=HGTConfig(hidden_dim=8, num_layers=2, att_heads=2),
+        cv=MLPEncoderConfig(hidden_dims=(32, 16)),
+        chemcpa=ChemCPAConfig(dim=16, autoencoder_width=32,
+                              autoencoder_depth=1),
+        transformer=FusionConfig(num_layers=1, att_heads=2, head_dim=8,
+                                 ffn_dim=32, dropout=0.1, norm_first=True,
+                                 agg="x-attn", num_tx_bottlenecks=2),
+        proj=ProjectorConfig(hidden_dims=(32, 32)),
+        pos_emb_type="sinusoidal",
+    )
+    cfg = PretrainConfig(
+        encoder=enc, pretrain_mode="str_center_uni",
+        pretrain_unbalanced=True, raw_encoder_output=True,
+        pretrain_batch_size=8, pretrain_num_epochs=20, warmup_epochs=2,
+        pretrain_lr=1e-3,
+    )
+    tr = CLPretrainer(cfg, coll, kg, device_table=True)
+    assert tr.full_batch is not None
+    losses = [tr.train_step() for _ in range(4)]
+    assert np.isfinite(losses).all()
+    tr2 = CLPretrainer(cfg, coll, kg, device_table=True)
+    np.testing.assert_allclose(tr2.train_steps(4), losses, atol=1e-6)
+
+    # forward parity vs the host-collate path (train=False: no dropout,
+    # BN running stats -> the only difference is gather vs re-collate)
+    ids = np.array([3, 0, 7, 11, 5, 2, 9, 13], np.int32)
+    m1, m2 = tr._sample_masks(ids)
+    variables = {"params": tr.state.params,
+                 "batch_stats": tr.state.batch_stats}
+    _, _, (_, _, loss_ids) = tr.model.apply(
+        variables, tr.full_batch, kg, jnp.asarray(m1), jnp.asarray(m2),
+        ids=jnp.asarray(ids), train=False)
+    sub = coll.drug_batch(ids)
+    _, _, (_, _, loss_host) = tr.model.apply(
+        variables, sub, kg, jnp.asarray(m1), jnp.asarray(m2),
+        train=False)
+    np.testing.assert_allclose(
+        np.asarray(loss_ids), np.asarray(loss_host), atol=1e-5)
