@@ -92,6 +92,7 @@ def test_cli_train_and_predict(tmp_path):
     assert z.shape == (12, 16)
 
 
+@pytest.mark.slow
 def test_cli_resume_mid_run(tmp_path):
     """--resume restores params + optimizer state + epoch and continues to
     num_epochs (reference has no finetune resume at all; pretrain.py:185-194
@@ -126,6 +127,7 @@ def test_cli_resume_mid_run(tmp_path):
     assert steps == list(range(8))
 
 
+@pytest.mark.slow
 def test_cli_between_within_sweep_and_early_stop(tmp_path):
     """split_by_drugs produces between/within splits; the eval sweep covers
     them (full SPLIT_EVAL_TYPES per split), tracks best_within, and
@@ -149,6 +151,7 @@ def test_cli_between_within_sweep_and_early_stop(tmp_path):
         assert "val_within str+tx_str+tx" in log  # within-only eval type
 
 
+@pytest.mark.slow
 def test_cli_modality_pretrain_all_four_then_cl(tmp_path):
     """Stage-1 CLI for each modality exports an encoder checkpoint;
     stage-2 pretrain warm-starts from all four (--modality_ckpts), i.e.

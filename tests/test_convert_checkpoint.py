@@ -63,6 +63,7 @@ def enc_cfg():
     )
 
 
+@pytest.mark.slow
 def test_finetune_checkpoint_conversion(rng):
     sd, cv_mod, fus_mod = build_reference_style_state_dict()
     params, stats = convert_reference_finetune_checkpoint(sd, enc_cfg())

@@ -433,9 +433,11 @@ def test_full_model_per_triple_parity():
     _run_full_model_parity(use_x64=False)
 
 
+@pytest.mark.slow
 def test_full_model_per_triple_parity_f64_exact():
     """Both sides in float64: implementations agree to <=1e-8, satisfying
-    the BASELINE <=1e-4 per-triple parity target exactly."""
+    the BASELINE <=1e-4 per-triple parity target exactly. Slow lane: the
+    f32 run above is the fast-lane smoke for this family."""
     jax.config.update("jax_enable_x64", True)
     try:
         _run_full_model_parity(use_x64=True)
