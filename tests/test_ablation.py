@@ -130,6 +130,7 @@ def test_modality_ablation_study(setup):
     assert 0.0 <= res.pvalue <= 1.0
 
 
+@pytest.mark.slow
 def test_predict_cli_ablation(setup, tmp_path):
     """predict --ablation: the fig2 study end-to-end through the CLI."""
     import json

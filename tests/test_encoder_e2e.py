@@ -153,6 +153,7 @@ def test_on_the_fly_negative_sampling(ds):
         assert hg[r] != tg[r]
 
 
+@pytest.mark.slow
 def test_fusion_batch_chunk_exact():
     """fusion_batch_chunk is numerically exact: per-drug sequences are
     independent through the fusion transformer."""

@@ -116,6 +116,7 @@ def test_evaluate_final_embeds(setup, tmp_path):
         assert json.load(f).keys() == table.keys()
 
 
+@pytest.mark.slow
 def test_cli_pretrain_final_embeds_eval(tmp_path):
     """--final_embeds_eval runs the save_embeds -> evaluate_final_embeds
     orchestration at the end of cli/pretrain (pretrain.py:260-265)."""

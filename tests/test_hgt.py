@@ -3,6 +3,7 @@ PyG 2.3 HGTConv math (the reference builds torch_geometric.nn.HGTConv at
 madrigal/models/models.py:71-96; PyG itself is not installed here, so the
 fixture is the oracle for the per-edge-type attention semantics)."""
 import numpy as np
+import pytest
 import torch
 
 import jax.numpy as jnp
@@ -276,6 +277,7 @@ def test_convert_reference_encoder_enforces_scope(rng):
     assert "kg_encoder" in params and "conv_0" in params["kg_encoder"]
 
 
+@pytest.mark.slow
 def test_hgt_remat_edge_types_matches(rng):
     """remat_edge_types changes memory, not numerics (fwd + grads)."""
     import dataclasses
@@ -446,6 +448,7 @@ def test_chunked_segment_ops_match_unchunked(rng):
         np.testing.assert_allclose(b, a, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_hgt_chunked_matches_unchunked(rng):
     """build_kg_batch(edge_chunk=8): layout changes, numerics do not
     (fwd + grads, both softmax scopes, with and without remat/bf16)."""

@@ -99,6 +99,7 @@ def test_sharded_kg_gradients_match_unsharded():
     assert any_kg_nonzero
 
 
+@pytest.mark.slow
 def test_finetune_step_kg_sharded_matches_single_device():
     """Full dp x label training step with the HGT running edge-sharded:
     loss and post-step params equal the single-device step."""

@@ -216,6 +216,7 @@ def test_chemcpa_sweep_mapping_real_yaml():
     assert len({c.autoencoder_width for c in cfgs}) > 1
 
 
+@pytest.mark.slow
 def test_chemcpa_sweep_entry(tmp_path):
     """Tiny-grid sweep end-to-end through the CLI: expansion, early-stop
     loop, JSONL artifact, best-config selection + checkpoint."""

@@ -113,6 +113,7 @@ def test_make_predictions_eval_types(setup):
     assert not np.allclose(p_full, p_str)
 
 
+@pytest.mark.slow
 def test_multi_seed_ensemble_cli(setup, tmp_path):
     """The published multi-seed serving protocol end-to-end through the
     CLI (reference generate_embeddings.ipynb cells 18-20,

@@ -51,6 +51,7 @@ def tiny_cfg(num_labels):
     )
 
 
+@pytest.mark.slow
 def test_sharded_step_matches_single_device():
     ds = make_dataset(num_drugs=12, num_labels=8, num_edges=20, seed=21)
     # pair budget divisible by dp=4
@@ -77,6 +78,7 @@ def test_sharded_step_matches_single_device():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
 
 
+@pytest.mark.slow
 def test_sharded_split_forward_matches_single_device():
     """The flagship 3-forward production path (split_forward_grads +
     split_share_kg_table) under the dp x label mesh: per-forward grad
@@ -110,6 +112,7 @@ def test_sharded_split_forward_matches_single_device():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
 
 
+@pytest.mark.slow
 def test_embed_all_drugs_sharded_matches_serial():
     """dp-sharded drug embedding equals the serial embed_all_drugs path."""
     from madrigal_tpu.eval.predict import embed_all_drugs
@@ -166,6 +169,7 @@ def test_sharded_rank_tensor_f32_default_matches_single_host():
     np.testing.assert_allclose(got, ref, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_sharded_trainer_validates_divisibility():
     ds = make_dataset(num_drugs=12, num_labels=7, num_edges=21, seed=22)
     batch, kg = DDICollator(ds, split="train")()

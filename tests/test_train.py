@@ -231,6 +231,7 @@ def test_checkpoint_roundtrip(tmp_path, data, trainer):
     assert "transformer" in merged
 
 
+@pytest.mark.slow
 def test_drug_embeddings_frozen_in_finetune_optimizer():
     """With chemcpa.use_drugs=True, the rdkit2D drug_embeddings table must
     stay frozen under the finetune optimizer (reference embedding.py:10-20
@@ -274,6 +275,7 @@ def test_drug_embeddings_frozen_in_finetune_optimizer():
         tx_labels["drug_embedding_encoder"]))
 
 
+@pytest.mark.slow
 def test_remat_forwards_matches_unremat(data):
     """remat_forwards changes memory, not numerics: one epoch's losses and
     updated params agree with the default step."""
@@ -292,6 +294,7 @@ def test_remat_forwards_matches_unremat(data):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
 
 
+@pytest.mark.slow
 def test_frozen_encoder_trains_decoder_only(data):
     """cfg.frozen freezes every encoder group; only the decoder updates
     (reference --frozen, utils.py:329-331)."""
@@ -319,7 +322,10 @@ def test_frozen_encoder_trains_decoder_only(data):
     assert not encoder_changed
 
 
-@pytest.mark.parametrize("mode", ["full_full", "str_random_sample"])
+@pytest.mark.parametrize("mode", [
+    pytest.param("full_full", marks=pytest.mark.slow),
+    "str_random_sample",
+])
 def test_label_chunked_triples_match(data, mode):
     """label_chunk_triples (label-sorted ELL training view of the triple
     list) changes decoder memory traffic, not numerics: per-epoch losses
@@ -390,6 +396,7 @@ def test_label_chunked_triples_match(data, mode):
                                    atol=3 * lr, rtol=0)
 
 
+@pytest.mark.slow
 def test_split_share_kg_table_matches_unshared(data):
     """split_share_kg_table (one KG fwd + accumulated table cotangents +
     one KG bwd per epoch) is numerics-identical to the unshared split
@@ -421,9 +428,11 @@ def test_split_share_kg_table_matches_unshared(data):
                                    atol=3 * lr, rtol=0, err_msg=str(ka))
 
 
-@pytest.mark.parametrize("mode,with_ss", [("str_random_sample", False),
-                                          ("str_random_sample", True),
-                                          ("full_full", False)])
+@pytest.mark.parametrize("mode,with_ss", [
+    ("str_random_sample", False),
+    pytest.param("str_random_sample", True, marks=pytest.mark.slow),
+    ("full_full", False),
+])
 def test_split_forward_grads_match_fused(data, mode, with_ss):
     """split_forward_grads (per-forward value_and_grad + gradient
     accumulation) matches the fused multi-forward step: gradient-of-sum
